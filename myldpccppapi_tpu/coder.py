@@ -1,0 +1,166 @@
+"""Byte-stream ``Coder`` facade, API-compatible with the reference.
+
+Mirrors the public surface of the reference's ``class Coder``
+(``MyLdpc.h:104-127``): the arming methods (``for_encoder`` /
+``for_decoder(batch)`` / ``add_decode_type``), the streaming ``encode`` /
+``decode`` over packed byte buffers (LSB-first bit packing, zero-padded final
+block), the AWGN self-test ``test``, and the size-query contract
+(``getPriorCodeLength/getPostCodeLength/getCodeSize``, ``MyLdpc.cpp:620-631``).
+
+Decode-type names map onto decoder configurations instead of separate device
+buffer/kernel plumbing:
+
+==========  =====================================================
+reference    here
+==========  =====================================================
+DecodeCPU    numpy golden flooding min-sum (ops/golden.py)
+DecodeMS     flooding min-sum (jnp/XLA while_loop)
+DecodeSP     flooding sum-product (log domain)
+DecodeTDMP   layered min-sum
+DecodeMSCL   flooding min-sum, fused Pallas kernel when available
+DecodeTDMPCL layered min-sum, fused Pallas kernel when available
+==========  =====================================================
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .codes.encoder import Encoder, ru_precompute
+from .codes.wimax import wimax
+from .decoder import Decoder
+from .ops import golden
+from .ops.channel import awgn, bpsk_modulate
+from .ops.packing import pack_bits_np, unpack_bits_np
+from .utils.config import DecoderConfig
+
+__all__ = ["Coder", "DECODE_TYPES"]
+
+DECODE_TYPES = {
+    "CPU": None,
+    "MS": DecoderConfig(algorithm="min-sum", schedule="flooding", implementation="jnp"),
+    "SP": DecoderConfig(algorithm="sum-product", schedule="flooding", implementation="jnp"),
+    "TDMP": DecoderConfig(algorithm="min-sum", schedule="layered", implementation="jnp"),
+    "MSCL": DecoderConfig(algorithm="min-sum", schedule="flooding", max_iters=120,
+                          implementation="auto"),
+    "TDMPCL": DecoderConfig(algorithm="min-sum", schedule="layered", implementation="auto"),
+}
+
+
+class Coder:
+    """Byte-stream QC-LDPC codec over the 802.16e family.
+
+    ``Coder(k, n, rate)`` validates k/n against the rate like the reference's
+    constructor; ``rate`` is a string ("1/2", "2/3A", "2/3B", "3/4A", "3/4B",
+    "5/6").
+    """
+
+    def __init__(self, ldpc_k: int, ldpc_n: int, rate: str, max_iters: int = 40):
+        self.code = wimax(ldpc_n, rate)
+        if self.code.k != ldpc_k:
+            raise ValueError(
+                f"k={ldpc_k} inconsistent with n={ldpc_n} rate={rate} "
+                f"(expected k={self.code.k})"
+            )
+        self.max_iters = max_iters
+        self._encoder: Encoder | None = None
+        self._decoders: dict[str, Decoder] = {}
+        self.batch_size = 0
+
+    # -- arming ------------------------------------------------------------
+    def for_encoder(self) -> None:
+        self._encoder = Encoder(self.code)
+
+    def for_decoder(self, batch_size: int) -> None:
+        self.batch_size = int(batch_size)
+
+    def add_decode_type(self, de_type: str) -> None:
+        if de_type not in DECODE_TYPES:
+            raise ValueError(f"unknown decode type {de_type!r}; choose from {sorted(DECODE_TYPES)}")
+        if de_type == "CPU":
+            return
+        cfg = DECODE_TYPES[de_type]
+        if cfg.max_iters != self.max_iters and de_type != "MSCL":
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, max_iters=self.max_iters)
+        self._decoders[de_type] = Decoder(self.code, cfg)
+
+    # -- size queries (same rounding contract as MyLdpc.cpp:620-631) -------
+    def get_code_size(self, src_length: int) -> int:
+        kb = self.code.k // 8
+        return (src_length + kb - 1) // kb
+
+    def get_prior_code_length(self, src_length: int) -> int:
+        return self.get_code_size(src_length) * (self.code.n // 8)
+
+    def get_post_code_length(self, src_length: int) -> int:
+        return self.get_code_size(src_length) * self.code.n
+
+    # -- streaming ----------------------------------------------------------
+    def encode(self, src: bytes | np.ndarray) -> np.ndarray:
+        """Packed source bytes -> packed codeword bytes (uint8 array).
+
+        The stream is chunked into k/8-byte blocks; the final partial block
+        is zero-padded (reference: ``MyLdpc.cpp:554-569,661-662``).
+        """
+        if self._encoder is None:
+            raise RuntimeError("call for_encoder() first")
+        src = np.frombuffer(bytes(src), dtype=np.uint8) if isinstance(src, (bytes, bytearray)) else np.asarray(src, dtype=np.uint8)
+        kb = self.code.k // 8
+        ncw = self.get_code_size(len(src))
+        padded = np.zeros(ncw * kb, dtype=np.uint8)
+        padded[: len(src)] = src
+        info_bits = unpack_bits_np(padded.reshape(ncw, kb))  # [ncw, k]
+        cw = np.asarray(self._encoder(jnp.asarray(info_bits)))  # [ncw, n]
+        return pack_bits_np(cw).reshape(-1)
+
+    def test(self, prior_code: np.ndarray, sigma: float, seed: int = 0) -> np.ndarray:
+        """BPSK + AWGN over a packed codeword stream -> soft values [len*8].
+
+        Matches ``Coder::test`` (``MyLdpc.cpp:1061-1078``): bit 1 -> -1.0,
+        bit 0 -> +1.0, Gaussian noise of std ``sigma`` (JAX PRNG instead of
+        the reference's rand()-based Box-Muller).
+        """
+        bits = unpack_bits_np(np.asarray(prior_code, dtype=np.uint8))
+        y = awgn(jax.random.PRNGKey(seed), bpsk_modulate(jnp.asarray(bits)), sigma)
+        return np.asarray(y, dtype=np.float32)
+
+    def decode(
+        self,
+        post_code: np.ndarray,
+        src_length: int,
+        de_type: str = "TDMP",
+        llr_scale: float | None = None,
+    ) -> np.ndarray:
+        """Soft stream [ncw*n] -> decoded source bytes [src_length].
+
+        Like the reference, the raw channel value is fed to min-sum as the
+        LLR (min-sum is scale-invariant).  Sum-product is *not* scale
+        invariant; the reference bakes in the channel scale 8 = 2/sigma^2 for
+        sigma^2 = 0.25 (``decodeCL.c:9``) — we reproduce that default for SP
+        and let callers pass a calibrated ``llr_scale = 2/sigma^2`` instead.
+        """
+        post = np.asarray(post_code, dtype=np.float32).reshape(-1, self.code.n)
+        if llr_scale is None:
+            llr_scale = 8.0 if de_type == "SP" else 1.0
+        if llr_scale != 1.0:
+            post = post * np.float32(llr_scale)
+        ncw = self.get_code_size(src_length)
+        if post.shape[0] != ncw:
+            raise ValueError(f"expected {ncw} codewords, got {post.shape[0]}")
+        if de_type == "CPU":
+            bits = golden.decode_golden(self.code, post, max_iters=self.max_iters)[0]
+        else:
+            if de_type not in self._decoders:
+                self.add_decode_type(de_type)
+            dec = self._decoders[de_type]
+            batch = self.batch_size or ncw
+            outs = []
+            for off in range(0, ncw, batch):
+                chunk = post[off : off + batch]
+                outs.append(np.asarray(dec(jnp.asarray(chunk)).bits))
+            bits = np.concatenate(outs, axis=0)
+        packed = pack_bits_np(bits[:, : self.code.k]).reshape(-1)
+        return packed[:src_length]

@@ -1,0 +1,174 @@
+"""Quasi-cyclic LDPC code objects.
+
+The TPU-native replacement for the reference's sparse/linked-list H indexing
+(``Coder::initCheckMatrix`` at ``MyLdpc.cpp:52-135`` and ``forDecoder``'s edge
+lists at ``MyLdpc.cpp:167-224``).  Instead of per-edge linked adjacency we keep
+the *block* structure: every nonzero entry of the base matrix is a cyclically
+shifted ``z x z`` identity, so all Tanner-graph gathers/scatters become static
+cyclic rotations of contiguous ``[z, batch]`` tiles — no gathers at all on TPU.
+
+Layout conventions used throughout the decoders:
+
+* LLR / posterior tensors are ``[n_b, z, B]`` (block-col, row-in-block, batch);
+  batch is the last (lane) axis.
+* Per-edge message tensors are ``[E_b, z, B]`` where ``E_b`` is the number of
+  nonzero base-matrix blocks, in row-major (layer) order, **row-aligned**:
+  element ``[e, r]`` is the message on the edge between check ``i_e*z + r``
+  and variable ``j_e*z + (r + shift_e) % z``.
+* ``row_aligned = roll(col_aligned, -shift)`` and
+  ``col_aligned = roll(row_aligned, +shift)`` along the ``z`` axis.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+from typing import Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["QCCode"]
+
+
+@dataclasses.dataclass(frozen=True, eq=False)  # identity hash: usable as jit static arg
+class QCCode:
+    """A lifted quasi-cyclic LDPC code defined by a base matrix and ``z``.
+
+    ``base`` entries are cyclic-shift exponents in ``[0, z)`` or ``-1`` for an
+    all-zero block.  The code is systematic with the first ``k`` columns being
+    information bits (matching the reference's 802.16e layout).
+    """
+
+    name: str
+    base: np.ndarray  # [m_b, n_b] int32, already scaled to this z
+    z: int
+    #: Number of leading systematic bits that are never transmitted
+    #: (5G NR punctures the first 2*Z columns).  0 for 802.16e/802.11n.
+    punctured_front: int = 0
+
+    def __post_init__(self):
+        base = np.asarray(self.base, dtype=np.int32)
+        object.__setattr__(self, "base", base)
+        if base.ndim != 2:
+            raise ValueError("base matrix must be 2-D")
+        if np.any(base >= self.z):
+            raise ValueError("shift exponent >= z; scale the seed first")
+
+    # -- sizes ------------------------------------------------------------
+    @property
+    def m_b(self) -> int:
+        return self.base.shape[0]
+
+    @property
+    def n_b(self) -> int:
+        return self.base.shape[1]
+
+    @property
+    def n(self) -> int:
+        return self.n_b * self.z
+
+    @property
+    def m(self) -> int:
+        return self.m_b * self.z
+
+    @property
+    def k(self) -> int:
+        return self.n - self.m
+
+    @property
+    def rate(self) -> float:
+        return self.k / self.n
+
+    # -- block structure ---------------------------------------------------
+    @cached_property
+    def blocks(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(block_row, block_col, shift) int32 arrays in row-major order."""
+        rows, cols = np.nonzero(self.base >= 0)
+        shifts = self.base[rows, cols]
+        return rows.astype(np.int32), cols.astype(np.int32), shifts.astype(np.int32)
+
+    @property
+    def num_blocks(self) -> int:
+        return int(np.count_nonzero(self.base >= 0))
+
+    @property
+    def num_edges(self) -> int:
+        return self.num_blocks * self.z
+
+    @cached_property
+    def layer_ptr(self) -> np.ndarray:
+        """Prefix offsets into :attr:`blocks` per base row; shape [m_b+1]."""
+        counts = np.count_nonzero(self.base >= 0, axis=1)
+        return np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+
+    def layer(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(block_cols, shifts) of base row ``i`` in ascending column order."""
+        cols = np.nonzero(self.base[i] >= 0)[0]
+        return cols.astype(np.int32), self.base[i, cols].astype(np.int32)
+
+    @cached_property
+    def col_blocks(self) -> Tuple[Tuple[Tuple[int, int], ...], ...]:
+        """For each base column j: tuple of (block_index e, shift)."""
+        br, bc, sh = self.blocks
+        out = [[] for _ in range(self.n_b)]
+        for e in range(len(br)):
+            out[int(bc[e])].append((e, int(sh[e])))
+        return tuple(tuple(x) for x in out)
+
+    @property
+    def row_degrees(self) -> np.ndarray:
+        return np.count_nonzero(self.base >= 0, axis=1)
+
+    @property
+    def col_degrees(self) -> np.ndarray:
+        return np.count_nonzero(self.base >= 0, axis=0)
+
+    @property
+    def max_row_degree(self) -> int:
+        return int(self.row_degrees.max())
+
+    @property
+    def max_col_degree(self) -> int:
+        return int(self.col_degrees.max())
+
+    # -- expanded representations (host-side, for tests / encoder) ---------
+    def h_dense(self) -> np.ndarray:
+        """Full parity-check matrix as a [m, n] bool array.
+
+        Expansion rule matches the reference (``MyLdpc.cpp:95-103``): block
+        (i, j) with shift s has ones at (i*z + r, j*z + (r+s) % z).
+        """
+        h = np.zeros((self.m, self.n), dtype=np.bool_)
+        z = self.z
+        r = np.arange(z)
+        br, bc, sh = self.blocks
+        for e in range(len(br)):
+            h[br[e] * z + r, bc[e] * z + (r + sh[e]) % z] = True
+        return h
+
+    def h_coo(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Edge list (rows, cols) in row-major order: by global check row,
+        then ascending column — the same edge order as the reference's
+        ``hRows``/``hCols`` (``MyLdpc.cpp:188-220``)."""
+        z = self.z
+        rows_out = []
+        cols_out = []
+        for i in range(self.m_b):
+            cols_i, shifts_i = self.layer(i)
+            for r in range(z):
+                grow = i * z + r
+                gcols = cols_i * z + (r + shifts_i) % z
+                rows_out.append(np.full(len(cols_i), grow, dtype=np.int64))
+                cols_out.append(gcols.astype(np.int64))
+        return np.concatenate(rows_out), np.concatenate(cols_out)
+
+    def syndrome(self, codeword_bits: np.ndarray) -> np.ndarray:
+        """H @ c mod 2 (numpy, for tests). codeword_bits: [..., n] 0/1."""
+        h = self.h_dense().astype(np.int64)
+        return (codeword_bits.astype(np.int64) @ h.T) % 2
+
+    def describe(self) -> str:
+        return (
+            f"QCCode({self.name}: n={self.n}, k={self.k}, z={self.z}, "
+            f"rate={self.rate:.3f}, blocks={self.num_blocks}, "
+            f"edges={self.num_edges})"
+        )

@@ -1,0 +1,286 @@
+"""Belief-propagation decoders for QC-LDPC codes, pure jnp/XLA path.
+
+TPU-native redesign of the reference's OpenCL decode kernels
+(``decodeCL.c``: SP family 3-108, MS family 113-199, TDMP family 203-300):
+
+* The per-edge linked-list walks become **static cyclic rotations** of
+  contiguous ``[z, batch]`` tiles — the quasi-cyclic structure makes every
+  Tanner-graph gather/scatter a ``jnp.roll`` with a compile-time shift.
+* The host-synchronized iteration loop with per-iteration flag readback
+  (``MyLdpc.cpp:803-833``) becomes an on-device ``lax.while_loop`` whose
+  convergence test is a masked ``jnp.all`` — zero host<->device crossings.
+* Per-codeword early-termination semantics match the reference
+  (``decodeCL.c:27-28,296-300``): converged codewords latch their output
+  while the batch continues.
+* Base-matrix layers/blocks are unrolled statically at trace time; the batch
+  axis is the vector-lane axis and the mesh-sharding axis.
+
+Internal tensor layout: LLR/posterior ``[n_b, z, B]``; per-edge messages
+``[E_b, z, B]`` row-aligned (see codes/qc.py for the alignment convention).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codes.qc import QCCode
+from ..utils.config import DecoderConfig
+
+__all__ = ["DecodeResult", "decode_qc", "decode_flooding", "decode_layered"]
+
+_PHI_MIN = 1e-7   # clamp for the sum-product phi transform
+_PHI_MAX = 30.0
+
+
+class DecodeResult(NamedTuple):
+    """Decoded hard bits plus convergence statistics."""
+
+    bits: jax.Array        # [B, n] uint8 hard decisions (full codeword)
+    converged: jax.Array   # [B] bool: syndrome == 0
+    iterations: jax.Array  # [B] int32: iterations used per codeword
+    total_iters: jax.Array  # scalar int32: batch iterations executed
+
+
+def _to_blocks(llr: jax.Array, n_b: int, z: int) -> jax.Array:
+    """[B, n] -> [n_b, z, B]."""
+    return llr.T.reshape(n_b, z, llr.shape[0])
+
+
+def _from_blocks(x: jax.Array) -> jax.Array:
+    """[n_b, z, B] -> [B, n]."""
+    n_b, z, b = x.shape
+    return x.reshape(n_b * z, b).T
+
+
+def _row_align(x: jax.Array, shift: int) -> jax.Array:
+    """Column-aligned [z, B] tile -> row-aligned (value at check row r is the
+    variable (r + shift) % z)."""
+    return jnp.roll(x, -shift, axis=0) if shift else x
+
+
+def _col_align(x: jax.Array, shift: int) -> jax.Array:
+    return jnp.roll(x, shift, axis=0) if shift else x
+
+
+def _check_update_minsum(qs: jax.Array, alpha: float, beta: float) -> jax.Array:
+    """Min-sum check-node update with self-exclusion over axis 0.
+
+    Vectorization of the first/second-minimum trick the reference's fused
+    kernel uses per-thread (``decodeCL.c:348-379``): the excluding-self min is
+    m2 where this edge is the argmin, else m1; the excluding-self sign is the
+    total sign parity XOR the edge's own sign.
+    """
+    a = jnp.abs(qs)
+    neg = (qs < 0).astype(jnp.int32)
+    m1 = jnp.min(a, axis=0)
+    am = jnp.argmin(a, axis=0)
+    is_min = jax.lax.broadcasted_iota(jnp.int32, qs.shape, 0) == am[None]
+    m2 = jnp.min(jnp.where(is_min, jnp.inf, a), axis=0)
+    mag = jnp.where(is_min, m2[None], m1[None])
+    if beta:
+        mag = jnp.maximum(mag - beta, 0.0)
+    if alpha != 1.0:
+        mag = alpha * mag
+    sign_excl = (jnp.sum(neg, axis=0) & 1)[None] ^ neg
+    return jnp.where(sign_excl == 1, -mag, mag).astype(qs.dtype)
+
+
+def _check_update_sumproduct(qs: jax.Array, alpha: float, beta: float) -> jax.Array:
+    """Log-domain sum-product check update with self-exclusion.
+
+    Uses the self-inverse transform phi(x) = -log(tanh(x/2)):
+    |R_e| = phi( sum_j phi(|Q_j|) - phi(|Q_e|) ).  Numerically stable
+    replacement for the reference's probability-domain q0/q1 products
+    (``decodeCL.c:25-41``).
+    """
+    del alpha, beta
+
+    def phi(x):
+        x = jnp.clip(x, _PHI_MIN, _PHI_MAX)
+        # -log(tanh(x/2)) = log((1 + e^-x) / (1 - e^-x))
+        ex = jnp.exp(-x)
+        return jnp.log1p(ex) - jnp.log1p(-ex)
+
+    a = jnp.abs(qs)
+    neg = (qs < 0).astype(jnp.int32)
+    ph = phi(a)
+    total = jnp.sum(ph, axis=0, keepdims=True)
+    mag = phi(total - ph)
+    sign_excl = (jnp.sum(neg, axis=0) & 1)[None] ^ neg
+    return jnp.where(sign_excl == 1, -mag, mag).astype(qs.dtype)
+
+
+def _layers(code: QCCode):
+    """Static per-layer structure: list of (edge_slice, [(e, j, shift), ...])."""
+    br, bc, sh = code.blocks
+    ptr = code.layer_ptr
+    out = []
+    for i in range(code.m_b):
+        p0, p1 = int(ptr[i]), int(ptr[i + 1])
+        entries = [(e, int(bc[e]), int(sh[e])) for e in range(p0, p1)]
+        out.append(((p0, p1), entries))
+    return out
+
+
+def _syndrome_fail(bits_blocks: jax.Array, layers) -> jax.Array:
+    """[n_b, z, B] hard bits (bool) -> [B] bool, True where any check fails."""
+    fails = []
+    for (_, entries) in layers:
+        par = None
+        for (_, j, s) in entries:
+            contrib = _row_align(bits_blocks[j], s).astype(jnp.int32)
+            par = contrib if par is None else par + contrib
+        fails.append(jnp.any((par & 1) == 1, axis=0))  # [B]
+    return jnp.any(jnp.stack(fails), axis=0)
+
+
+def _select_check_update(cfg: DecoderConfig):
+    if cfg.algorithm == "min-sum":
+        return partial(_check_update_minsum, alpha=cfg.normalization, beta=cfg.offset)
+    return partial(_check_update_sumproduct, alpha=1.0, beta=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Flooding schedule
+# ---------------------------------------------------------------------------
+
+def decode_flooding(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeResult:
+    """Flooding-schedule BP over the whole batch.  llr: [B, n] float."""
+    n_b, z = code.n_b, code.z
+    bsz = llr.shape[0]
+    dtype = llr.dtype
+    layers = _layers(code)
+    check_update = _select_check_update(cfg)
+
+    chan = _to_blocks(llr, n_b, z)  # [n_b, z, B]
+
+    # initial variable->check messages: channel LLR gathered per edge
+    q0 = jnp.stack(
+        [
+            _row_align(chan[j], s)
+            for (_, entries) in layers
+            for (_, j, s) in entries
+        ]
+    )  # [E_b, z, B]
+
+    bits0 = jnp.zeros((n_b, z, bsz), dtype=jnp.bool_)
+    done0 = jnp.zeros((bsz,), dtype=jnp.bool_)
+    iters0 = jnp.zeros((bsz,), dtype=jnp.int32)
+
+    def body(carry):
+        q, bits_out, done, iters, t = carry
+        # check-node update, layer by layer (each a contiguous static slice)
+        r = jnp.concatenate(
+            [check_update(q[p0:p1]) for ((p0, p1), _) in layers], axis=0
+        )
+        # posterior: channel + column-aligned scatter of R
+        post = chan
+        for (_, entries) in layers:
+            for (e, j, s) in entries:
+                post = post.at[j].add(_col_align(r[e], s))
+        bits = post <= 0  # reference: bit = !(posterior > 0)
+        # next Q and row-aligned bits share the same rolled posterior
+        q_next = []
+        fails = []
+        for (_, entries) in layers:
+            par = None
+            qs_layer = []
+            for (e, j, s) in entries:
+                post_ra = _row_align(post[j], s)
+                qs_layer.append(post_ra - r[e])
+                contrib = (post_ra <= 0).astype(jnp.int32)
+                par = contrib if par is None else par + contrib
+            q_next.extend(qs_layer)
+            fails.append(jnp.any((par & 1) == 1, axis=0))
+        q_next = jnp.stack(q_next)
+        fail = jnp.any(jnp.stack(fails), axis=0)  # [B]
+
+        keep = done[None, None, :]
+        bits_out = jnp.where(keep, bits_out, bits)
+        iters = jnp.where(done, iters, t + 1)
+        done = done | ~fail
+        return q_next, bits_out, done, iters, t + 1
+
+    def cond(carry):
+        _, _, done, _, t = carry
+        c = t < cfg.max_iters
+        if cfg.early_exit:
+            c = c & ~jnp.all(done)
+        return c
+
+    q, bits_out, done, iters, t = jax.lax.while_loop(
+        cond, body, (q0, bits0, done0, iters0, jnp.int32(0))
+    )
+    return DecodeResult(
+        bits=_from_blocks(bits_out).astype(jnp.uint8),
+        converged=done,
+        iterations=iters,
+        total_iters=t,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Layered (TDMP) schedule
+# ---------------------------------------------------------------------------
+
+def decode_layered(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeResult:
+    """Layered/TDMP BP: the posterior is refreshed after each base row,
+    roughly halving iterations-to-convergence vs flooding (the reference's
+    DecodeTDMP / fused decodeOnceTDMP, ``decodeCL.c:203-300,307-426``)."""
+    n_b, z = code.n_b, code.z
+    bsz = llr.shape[0]
+    layers = _layers(code)
+    check_update = _select_check_update(cfg)
+
+    chan = _to_blocks(llr, n_b, z)
+    r0 = jnp.zeros((code.num_blocks, z, bsz), dtype=llr.dtype)
+    bits0 = jnp.zeros((n_b, z, bsz), dtype=jnp.bool_)
+    done0 = jnp.zeros((bsz,), dtype=jnp.bool_)
+    iters0 = jnp.zeros((bsz,), dtype=jnp.int32)
+
+    def body(carry):
+        r, post, bits_out, done, iters, t = carry
+        for ((p0, p1), entries) in layers:
+            qs = jnp.stack(
+                [_row_align(post[j], s) for (_, j, s) in entries]
+            ) - r[p0:p1]
+            r_new = check_update(qs)
+            for idx, (e, j, s) in enumerate(entries):
+                post = post.at[j].set(_col_align(qs[idx] + r_new[idx], s))
+            r = jax.lax.dynamic_update_slice_in_dim(r, r_new, p0, axis=0)
+        bits = post <= 0
+        fail = _syndrome_fail(bits, layers)
+        keep = done[None, None, :]
+        bits_out = jnp.where(keep, bits_out, bits)
+        iters = jnp.where(done, iters, t + 1)
+        done = done | ~fail
+        return r, post, bits_out, done, iters, t + 1
+
+    def cond(carry):
+        *_, done, _, t = carry
+        c = t < cfg.max_iters
+        if cfg.early_exit:
+            c = c & ~jnp.all(done)
+        return c
+
+    r, post, bits_out, done, iters, t = jax.lax.while_loop(
+        cond, body, (r0, chan, bits0, done0, iters0, jnp.int32(0))
+    )
+    return DecodeResult(
+        bits=_from_blocks(bits_out).astype(jnp.uint8),
+        converged=done,
+        iterations=iters,
+        total_iters=t,
+    )
+
+
+def decode_qc(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeResult:
+    """Dispatch on schedule.  ``llr``: [B, n] float, positive => bit 0."""
+    if cfg.schedule == "layered":
+        return decode_layered(code, cfg, llr)
+    return decode_flooding(code, cfg, llr)

@@ -1,0 +1,57 @@
+"""Dataclass configuration objects.
+
+Replaces the reference's positional-argv + compile-time-constant configuration
+(``Test.cpp:19-26,35-104``; iteration caps hardcoded at ``MyLdpc.cpp:24`` and
+``decodeCL.c:344,479``) with explicit, hashable configs usable as jit static
+arguments.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+__all__ = ["DecoderConfig", "RunConfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """Belief-propagation decoder configuration.
+
+    algorithm:    "min-sum" or "sum-product"
+    schedule:     "flooding" (all checks each iteration) or "layered" (TDMP)
+    max_iters:    iteration cap (reference uses 40; its fused MS kernel 120)
+    normalization: alpha for normalized min-sum (1.0 = plain min-sum, the
+                  reference's choice; 0.75 is the classic normalized variant)
+    offset:       beta for offset min-sum (0.0 = none)
+    early_exit:   stop when every codeword in the (local) batch satisfies all
+                  parity checks — the on-device replacement for the
+                  reference's per-iteration flag readback (MyLdpc.cpp:818-833)
+    implementation: "auto" | "jnp" | "pallas"
+    """
+
+    algorithm: str = "min-sum"
+    schedule: str = "layered"
+    max_iters: int = 40
+    normalization: float = 1.0
+    offset: float = 0.0
+    early_exit: bool = True
+    implementation: str = "auto"
+
+    def __post_init__(self):
+        if self.algorithm not in ("min-sum", "sum-product"):
+            raise ValueError(f"unknown algorithm {self.algorithm!r}")
+        if self.schedule not in ("flooding", "layered"):
+            raise ValueError(f"unknown schedule {self.schedule!r}")
+        if self.implementation not in ("auto", "jnp", "pallas"):
+            raise ValueError(f"unknown implementation {self.implementation!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    """A benchmark / campaign run specification."""
+
+    batch_size: int = 1024
+    snr_db: Tuple[float, ...] = (2.0,)
+    seed: int = 0
+    mesh_shape: Optional[Tuple[int, ...]] = None  # None = single device
+    mesh_axes: Tuple[str, ...] = ("data",)

@@ -1,0 +1,43 @@
+"""End-to-end roundtrip through the byte-stream Coder facade — the same
+scenario as the reference CLI harness (``Test.cpp:15-118``): known plaintext
+-> encode -> BPSK+AWGN -> decode -> byte compare."""
+import numpy as np
+import pytest
+
+from myldpccppapi_tpu import Coder
+
+
+def _plaintext(n):  # 'a' + i % 26, like Test.cpp:44
+    return bytes((ord("a") + i % 26) for i in range(n))
+
+
+@pytest.mark.parametrize("de_type", ["MS", "SP", "TDMP", "CPU"])
+def test_roundtrip(de_type):
+    coder = Coder(432, 576, "3/4B")
+    coder.for_encoder()
+    coder.for_decoder(batch_size=8)
+    coder.add_decode_type(de_type)
+    src = _plaintext(200)  # not a multiple of k/8=54: exercises padding
+    prior = coder.encode(src)
+    assert len(prior) == coder.get_prior_code_length(len(src))
+    sigma = 10 ** (-8.0 / 20.0)  # 8 dB, clean
+    post = coder.test(prior, sigma, seed=0)
+    assert len(post) == coder.get_post_code_length(len(src)) * 8 // 8
+    # reference convention: raw channel values as LLRs
+    out = coder.decode(post, len(src), de_type)
+    assert bytes(out) == src
+
+
+def test_size_queries():
+    coder = Coder(432, 576, "3/4B")
+    # k/8 = 54, n/8 = 72 bytes per codeword
+    assert coder.get_code_size(54) == 1
+    assert coder.get_code_size(55) == 2
+    assert coder.get_prior_code_length(54) == 72
+    assert coder.get_prior_code_length(108) == 144
+    assert coder.get_post_code_length(54) == 576
+
+
+def test_bad_k_raises():
+    with pytest.raises(ValueError):
+        Coder(431, 576, "3/4B")

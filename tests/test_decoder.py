@@ -1,0 +1,117 @@
+"""Decoder tests: golden-model parity, convergence, early-exit semantics.
+
+The flooding min-sum path must be *bit-exact* against the NumPy golden model
+(the analogue of the reference's DecodeCPU ground truth, ``MyLdpc.cpp:684-784``)
+at SNRs where decoding converges; layered and sum-product variants are checked
+for correctness of the decoded codewords and convergence behaviour.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myldpccppapi_tpu import Decoder, DecoderConfig, Encoder, wimax, wifi
+from myldpccppapi_tpu.codes import encode_numpy
+from myldpccppapi_tpu.ops import golden
+from myldpccppapi_tpu.ops.channel import transmit
+
+
+def _make_case(code, batch, snr_db, seed=0):
+    enc = Encoder(code)
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
+    c = encode_numpy(enc.mats, u)
+    llr, _ = transmit(jax.random.PRNGKey(seed), jnp.asarray(c), snr_db=snr_db)
+    return u, c, np.asarray(llr, dtype=np.float32)
+
+
+def test_flooding_minsum_matches_golden_bitexact():
+    code = wimax(576, "3/4B")
+    u, c, llr = _make_case(code, batch=24, snr_db=6.0)
+    gb, gc, gi = golden.decode_golden(code, llr)
+    dec = Decoder(code, DecoderConfig(schedule="flooding"))
+    res = dec(jnp.asarray(llr))
+    assert gc.all()
+    assert (np.asarray(res.bits) == gb).all()
+    assert (np.asarray(res.iterations) == gi).all()
+    assert (np.asarray(res.bits)[:, : code.k] == u).all()
+
+
+@pytest.mark.parametrize("schedule", ["flooding", "layered"])
+@pytest.mark.parametrize("algorithm", ["min-sum", "sum-product"])
+def test_decode_recovers_codewords(schedule, algorithm):
+    code = wimax(576, "1/2")
+    u, c, llr = _make_case(code, batch=16, snr_db=4.0, seed=3)
+    dec = Decoder(code, DecoderConfig(algorithm=algorithm, schedule=schedule))
+    res = dec(jnp.asarray(llr))
+    assert np.asarray(res.converged).all()
+    assert (np.asarray(res.bits)[:, : code.k] == u).all()
+    # converged outputs must be valid codewords (the built-in oracle)
+    assert code.syndrome(np.asarray(res.bits)).sum() == 0
+
+
+def test_layered_converges_faster_than_flooding():
+    code = wifi(1944, "5/6")
+    _, _, llr = _make_case(code, batch=16, snr_db=6.5, seed=7)
+    res_f = Decoder(code, DecoderConfig(schedule="flooding"))(jnp.asarray(llr))
+    res_l = Decoder(code, DecoderConfig(schedule="layered"))(jnp.asarray(llr))
+    assert np.asarray(res_l.converged).all()
+    assert np.asarray(res_l.iterations).mean() < np.asarray(res_f.iterations).mean()
+
+
+def test_early_exit_stops_iterating():
+    code = wimax(576, "3/4B")
+    _, c, llr = _make_case(code, batch=8, snr_db=10.0)
+    res = Decoder(code, DecoderConfig(max_iters=40))(jnp.asarray(llr))
+    assert int(res.total_iters) < 5  # clean channel converges almost instantly
+    res_no = Decoder(code, DecoderConfig(max_iters=40, early_exit=False))(jnp.asarray(llr))
+    assert int(res_no.total_iters) == 40
+    # early exit must not change the decoded output
+    assert (np.asarray(res.bits) == np.asarray(res_no.bits)).all()
+
+
+def test_per_codeword_latching():
+    """A converged codeword's output must freeze while the batch continues
+    (reference isDones semantics, decodeCL.c:27-28,296-300)."""
+    code = wimax(576, "1/2")
+    u, c, llr = _make_case(code, batch=4, snr_db=5.0, seed=11)
+    # corrupt one codeword so hard it cannot converge: zero out its LLRs
+    llr_bad = llr.copy()
+    llr_bad[2] = 0.0
+    res = Decoder(code, DecoderConfig(max_iters=10))(jnp.asarray(llr_bad))
+    conv = np.asarray(res.converged)
+    assert conv[[0, 1, 3]].all()
+    bits = np.asarray(res.bits)
+    assert (bits[[0, 1, 3]][:, : code.k] == u[[0, 1, 3]]).all()
+    its = np.asarray(res.iterations)
+    assert (its[[0, 1, 3]] < 10).all() and its[2] == 10
+
+
+def test_normalized_minsum_beats_plain_at_low_snr():
+    """Normalized min-sum (alpha=0.75) should decode at least as many frames
+    as plain min-sum near threshold — the classic improvement the reference
+    lacks (SURVEY.md §2.2 notes its min-sum has no normalization)."""
+    code = wimax(576, "1/2")
+    u, c, llr = _make_case(code, batch=64, snr_db=2.0, seed=5)
+    plain = Decoder(code, DecoderConfig(schedule="layered"))(jnp.asarray(llr))
+    norm = Decoder(code, DecoderConfig(schedule="layered", normalization=0.75))(jnp.asarray(llr))
+    n_ok_plain = int(np.asarray(plain.converged).sum())
+    n_ok_norm = int(np.asarray(norm.converged).sum())
+    assert n_ok_norm >= n_ok_plain
+
+
+def test_offset_minsum_runs():
+    code = wimax(576, "1/2")
+    u, _, llr = _make_case(code, batch=8, snr_db=4.0)
+    res = Decoder(code, DecoderConfig(offset=0.15))(jnp.asarray(llr))
+    assert np.asarray(res.converged).all()
+    assert (np.asarray(res.bits)[:, : code.k] == u).all()
+
+
+def test_all_wimax_rates_decode():
+    for rate in ["1/2", "2/3A", "2/3B", "3/4A", "3/4B", "5/6"]:
+        code = wimax(576, rate)
+        u, _, llr = _make_case(code, batch=4, snr_db=7.0, seed=2)
+        res = Decoder(code, DecoderConfig(schedule="layered"))(jnp.asarray(llr))
+        assert np.asarray(res.converged).all(), rate
+        assert (np.asarray(res.bits)[:, : code.k] == u).all(), rate
