@@ -1,0 +1,248 @@
+"""Run the five BASELINE.json benchmark configurations.
+
+Each config prints one JSON line (and appends it to
+``benchmarks/results.jsonl``) with decoded-info throughput and decode
+quality at the config's operating point.  Configs 1-4 run on whatever
+accelerator JAX selects (the real TPU chip under the driver); config 5
+exercises the N>=2-host sharded campaign layout — on a virtual CPU mesh
+when only one real chip is present.
+
+Usage::
+
+    python benchmarks/run_baseline.py            # all configs
+    python benchmarks/run_baseline.py 2 3        # selected configs
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.jsonl")
+
+
+def _emit(rec):
+    line = json.dumps(rec)
+    print(line, flush=True)
+    with open(RESULTS, "a") as f:
+        f.write(line + "\n")
+
+
+def _throughput(decode, llr_dev, k_info, batch, repeats=5):
+    import jax
+
+    res = decode(llr_dev)  # compile
+    jax.block_until_ready(res.bits)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        res = decode(llr_dev)
+    jax.block_until_ready(res.bits)
+    dt = (time.perf_counter() - t0) / repeats
+    return batch * k_info / dt / 1e6, res, dt
+
+
+def config1():
+    """Regular (3,6) n=648 rate-1/2, flooding sum-product, batch 64 @ 2 dB."""
+    import jax
+    import jax.numpy as jnp
+
+    from myldpccppapi_tpu import Decoder, DecoderConfig, Encoder
+    from myldpccppapi_tpu.codes import regular
+    from myldpccppapi_tpu.ops.channel import transmit
+
+    code = regular(648)
+    enc = Encoder(code)
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, 2, size=(64, enc.k), dtype=np.uint8)
+    cw = np.asarray(enc(jnp.asarray(u)))
+    llr, _ = transmit(jax.random.PRNGKey(0), jnp.asarray(cw), snr_db=2.0)
+    dec = Decoder(code, DecoderConfig(algorithm="sum-product", schedule="flooding"))
+    mbits, res, dt = _throughput(dec, jax.device_put(llr), code.k_info, 64)
+    conv = np.asarray(res.converged)
+    bits = np.asarray(res.bits)
+    # 2 dB ~= Eb/N0 2 dB on this rate-1/2 code: deep in the waterfall, so
+    # frame errors AND undetected errors (converged-to-wrong-codeword) are
+    # genuine channel-coding behaviour, not decoder defects — report both.
+    frame_err = (bits[:, code.info_positions] != u).any(axis=1)
+    undetected = int((frame_err & conv).sum())
+    _emit({
+        "config": 1, "name": "regular36_n648_sp_b64_2dB",
+        "throughput_mbits": round(mbits, 3), "batch_ms": round(dt * 1e3, 3),
+        "conv_rate": round(float(conv.mean()), 4),
+        "fer": round(float(frame_err.mean()), 4),
+        "undetected_errors": undetected,
+        "mean_iters": round(float(np.asarray(res.iterations).mean()), 2),
+        "impl": dec.implementation,
+    })
+
+
+def config2():
+    """802.11n n=1944 rate-5/6, normalized min-sum + early exit, batch 4096."""
+    import jax
+    import jax.numpy as jnp
+
+    from myldpccppapi_tpu import Decoder, DecoderConfig, Encoder, wifi
+    from myldpccppapi_tpu.ops.channel import transmit
+
+    code = wifi(1944, "5/6")
+    enc = Encoder(code)
+    rng = np.random.default_rng(0)
+    batch = 4096
+    u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
+    cw = np.asarray(enc(jnp.asarray(u)))
+    llr, _ = transmit(jax.random.PRNGKey(0), jnp.asarray(cw), snr_db=6.5)
+    dec = Decoder(
+        code,
+        DecoderConfig(schedule="layered", normalization=0.75, early_exit=True),
+    )
+    mbits, res, dt = _throughput(dec, jax.device_put(llr), code.k, batch)
+    conv = np.asarray(res.converged)
+    ok = (np.asarray(res.bits)[conv][:, : code.k] == u[conv]).all()
+    _emit({
+        "config": 2, "name": "wifi1944_r56_nms_b4096",
+        "throughput_mbits": round(mbits, 3), "batch_ms": round(dt * 1e3, 3),
+        "conv_rate": round(float(conv.mean()), 4),
+        "mean_iters": round(float(np.asarray(res.iterations).mean()), 2),
+        "decoded_ok": bool(ok), "impl": dec.implementation,
+    })
+
+
+def config3():
+    """DVB-S2 n=64800 rate-1/2, layered min-sum, batch 1024."""
+    import jax
+    import jax.numpy as jnp
+
+    from myldpccppapi_tpu import Decoder, DecoderConfig
+    from myldpccppapi_tpu.codes import dvbs2
+
+    code = dvbs2(64800, "1/2")
+    rng = np.random.default_rng(0)
+    batch = 1024
+    u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
+    cw = code.encode_numpy(u)
+    snr_db = 1.2
+    sigma = 10 ** (-snr_db / 20)
+    y = (1.0 - 2.0 * cw.astype(np.float32)) + rng.normal(0, sigma, cw.shape).astype(np.float32)
+    llr = 2.0 * y / sigma**2
+    dec = Decoder(
+        code, DecoderConfig(schedule="layered", normalization=0.8, max_iters=50)
+    )
+    mbits, res, dt = _throughput(dec, jax.device_put(jnp.asarray(llr)), code.k, batch, repeats=2)
+    conv = np.asarray(res.converged)
+    ok = (np.asarray(res.bits)[conv][:, : code.k] == u[conv]).all()
+    _emit({
+        "config": 3, "name": "dvbs2_64800_r12_layered_b1024",
+        "throughput_mbits": round(mbits, 3), "batch_ms": round(dt * 1e3, 3),
+        "conv_rate": round(float(conv.mean()), 4),
+        "mean_iters": round(float(np.asarray(res.iterations).mean()), 2),
+        "decoded_ok": bool(ok), "impl": dec.implementation,
+    })
+
+
+def config4():
+    """NR-style BG1 Z=384, rate-matched LLR puncturing, multi-SNR sweep."""
+    import jax
+    import jax.numpy as jnp
+
+    from myldpccppapi_tpu import Decoder, DecoderConfig
+    from myldpccppapi_tpu.codes.nr import (
+        nr_code, rate_match_bits, rate_match_llr, triangular_encode_fn,
+    )
+
+    code = nr_code(z=384, bg=1)
+    enc = jax.jit(triangular_encode_fn(code))
+    rng = np.random.default_rng(0)
+    batch = 256
+    e = code.n - code.punctured_front  # full buffer, rv0
+    u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
+    cw = np.asarray(enc(jnp.asarray(u)))
+    tx = np.asarray(rate_match_bits(code, jnp.asarray(cw), e)).astype(np.float32)
+    dec = Decoder(
+        code, DecoderConfig(schedule="layered", normalization=0.8, max_iters=30)
+    )
+    sweep = [3.0, 4.0, 5.0, 6.0]
+    rows = []
+    for snr_db in sweep:
+        sigma = 10 ** (-snr_db / 20)
+        y = (1.0 - 2.0 * tx) + rng.normal(0, sigma, tx.shape).astype(np.float32)
+        llr = rate_match_llr(code, jnp.asarray(2.0 * y / sigma**2), e)
+        mbits, res, dt = _throughput(dec, jax.device_put(llr), code.k, batch, repeats=2)
+        conv = np.asarray(res.converged)
+        rows.append({
+            "snr_db": snr_db, "throughput_mbits": round(mbits, 3),
+            "conv_rate": round(float(conv.mean()), 4),
+            "mean_iters": round(float(np.asarray(res.iterations).mean()), 2),
+        })
+    _emit({
+        "config": 4, "name": "nr_bg1_z384_rate_matched_sweep",
+        "impl": dec.implementation, "sweep": rows,
+    })
+
+
+def config5():
+    """Waterfall campaign: 8 SNR points x (NR + DVB-S2 short), batch-sharded
+    over a (2 hosts x N/2 chips)-shaped mesh with psum'd frame stats."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        print("config5: needs >=2 devices; run under the virtual CPU mesh "
+              "(JAX_NUM_CPU_DEVICES=8 JAX_PLATFORMS=cpu)", file=sys.stderr)
+        return
+    import jax.numpy as jnp
+
+    from myldpccppapi_tpu import DecoderConfig
+    from myldpccppapi_tpu.codes import dvbs2
+    from myldpccppapi_tpu.codes.nr import nr_code, triangular_encode_fn
+    from myldpccppapi_tpu.parallel import make_mesh, make_sharded_campaign_step
+    from myldpccppapi_tpu.parallel.sim import make_decode_fn
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh((2, n_dev // 2), ("host", "data"), devices=jax.devices()[: 2 * (n_dev // 2)])
+    snr = jnp.asarray([0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0], jnp.float32)
+
+    runs = []
+    for fam, code, enc_fn in [
+        ("nr_bg1_z64", nr_code(z=64, bg=1), None),
+        ("dvbs2_short", dvbs2(16200, "1/2"), None),
+    ]:
+        cfg = DecoderConfig(schedule="layered", normalization=0.8, max_iters=25)
+        if fam.startswith("nr"):
+            enc_fn = triangular_encode_fn(code)
+            dec_fn = None
+        else:
+            enc_fn = code.encode_fn()
+            dec_fn = make_decode_fn(code, cfg)
+        step = jax.jit(make_sharded_campaign_step(
+            code, cfg, mesh, batch_per_device=8, num_snr=len(snr),
+            encode_fn=enc_fn, decode_fn=dec_fn,
+        ))
+        t0 = time.perf_counter()
+        stats = jax.tree.map(np.asarray, step(jax.random.PRNGKey(0), snr))
+        dt = time.perf_counter() - t0
+        runs.append({
+            "family": fam,
+            "frames_per_point": int(stats.frames[0]),
+            "fer": [round(float(fe) / max(int(fr), 1), 5)
+                    for fe, fr in zip(stats.frame_errors, stats.frames)],
+            "wall_s": round(dt, 2),
+        })
+    _emit({
+        "config": 5, "name": "sharded_waterfall_nr_dvbs2",
+        "mesh": {"host": 2, "data": n_dev // 2}, "runs": runs,
+    })
+
+
+def main():
+    wanted = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    for c in wanted:
+        fns[c]()
+
+
+if __name__ == "__main__":
+    main()

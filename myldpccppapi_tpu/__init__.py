@@ -7,7 +7,7 @@ and batched belief-propagation decoding (flooding/layered, min-sum /
 normalized / offset / sum-product) with per-codeword syndrome early
 termination — scaled over TPU meshes via shard_map with psum'd statistics.
 """
-from .codes import Encoder, QCCode, wimax, wifi
+from .codes import Encoder, QCCode, regular, wimax, wifi
 from .decoder import DecodeResult, Decoder
 from .utils.config import DecoderConfig, RunConfig
 from .coder import Coder
@@ -22,6 +22,7 @@ __all__ = [
     "Encoder",
     "QCCode",
     "RunConfig",
+    "regular",
     "wimax",
     "wifi",
     "__version__",

@@ -1,0 +1,245 @@
+"""Command-line harness.
+
+``test``      — the reference CLI's encode -> AWGN -> decode roundtrip
+                (``Test.cpp:15-118``): same positional semantics
+                (srcLength, batchSize, snr, algo), same printed metrics
+                (decode wall time, ErrNum, ThroughPut), modern flags.
+``waterfall`` — BER/FER campaign over an SNR grid with checkpoint/resume
+                and CSV/JSON emission (the §5 machinery the reference lacks).
+``bench``     — one-config throughput benchmark (same JSON line as bench.py).
+
+Examples::
+
+    python -m myldpccppapi_tpu test 4320 64 3.0 TDMP
+    python -m myldpccppapi_tpu waterfall --family wimax --n 576 --rate 1/2 \
+        --snr 0:4:0.5 --batch 1024 --target-errors 200 --out waterfall.csv
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from .utils.config import DecoderConfig
+
+
+def _parse_snr_grid(spec: str):
+    """"a:b:step" inclusive grid, or comma list "1,2,3"."""
+    if ":" in spec:
+        parts = [float(x) for x in spec.split(":")]
+        a, b = parts[0], parts[1]
+        step = parts[2] if len(parts) > 2 else 1.0
+        n = int(round((b - a) / step)) + 1
+        return [round(a + i * step, 6) for i in range(n)]
+    return [float(x) for x in spec.split(",")]
+
+
+def _make_code(args):
+    if args.family == "wimax":
+        from .codes import wimax
+
+        return wimax(args.n, args.rate)
+    if args.family == "wifi":
+        from .codes import wifi
+
+        return wifi(args.n, args.rate)
+    if args.family == "regular":
+        from .codes import regular
+
+        return regular(args.n)
+    if args.family == "nr":
+        from .codes import nr_code
+
+        return nr_code(z=args.z, bg=args.bg)
+    if args.family == "dvbs2":
+        from .codes import dvbs2
+
+        return dvbs2(args.n, args.rate)
+    raise SystemExit(f"unknown family {args.family}")
+
+
+def cmd_test(args) -> int:
+    """Reference-style roundtrip: plaintext -> encode -> AWGN -> decode."""
+    from .coder import Coder
+
+    coder = Coder(args.k, args.n, args.rate)
+    coder.for_encoder()
+    coder.for_decoder(args.batch)
+    src = bytes((ord("a") + i % 26) for i in range(args.src_length))
+
+    t0 = time.perf_counter()
+    prior = coder.encode(src)
+    t_enc = time.perf_counter() - t0
+    sigma = 10 ** (-args.snr / 20)
+    post = coder.test(prior, sigma, seed=args.seed)
+
+    t0 = time.perf_counter()
+    decoded = coder.decode(post, len(src), de_type=args.algo)
+    t_dec = time.perf_counter() - t0
+
+    err = int(np.sum(np.frombuffer(src, np.uint8) != decoded[: len(src)]))
+    print(f"EncodeTime={t_enc:.6f}s DecodeTime={t_dec:.6f}s")
+    print(f"ErrNum={err}")
+    print(f"ThroughPut={len(src) / t_dec:.1f} byte/s")
+    return 0 if err == 0 else 1
+
+
+def cmd_waterfall(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from .campaign import CampaignConfig, WaterfallCampaign
+    from .parallel import make_mesh, make_sharded_campaign_step
+    from .parallel.sim import matmul_encode_fn, make_decode_fn
+
+    code = _make_code(args)
+    cfg = DecoderConfig(
+        algorithm=args.algorithm,
+        schedule=args.schedule,
+        max_iters=args.max_iters,
+        normalization=args.normalization,
+    )
+    snr_grid = _parse_snr_grid(args.snr)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh((n_dev,), ("data",))
+    encode_fn = None
+    decode_fn = None
+    if args.family == "dvbs2":
+        encode_fn = code.encode_fn()
+        decode_fn = make_decode_fn(code, cfg)
+    elif args.family == "nr":
+        from .codes.nr import triangular_encode_fn
+
+        encode_fn = triangular_encode_fn(code)
+    step = make_sharded_campaign_step(
+        code, cfg, mesh,
+        batch_per_device=max(1, args.batch // n_dev),
+        num_snr=1,
+        encode_fn=encode_fn,
+        decode_fn=decode_fn,
+    )
+    step = jax.jit(step)
+
+    def step_fn(seed, snr_db):
+        stats = step(
+            jax.random.PRNGKey(seed), jnp.asarray([snr_db], jnp.float32)
+        )
+        return jax.tree.map(np.asarray, stats)
+
+    ccfg = CampaignConfig(
+        snr_db=snr_grid,
+        batch_per_step=args.batch,
+        min_frame_errors=args.target_errors,
+        max_frames=args.max_frames,
+        seed=args.seed,
+    )
+    fp = ccfg.fingerprint(code.name, repr(cfg))
+    camp = WaterfallCampaign(
+        ccfg, step_fn,
+        frames_per_step=max(1, args.batch // n_dev) * n_dev,
+        fingerprint=fp,
+        checkpoint_path=args.checkpoint,
+    )
+
+    def progress(i, p):
+        if args.verbose:
+            print(
+                f"snr={p.snr_db:+.2f} frames={p.frames} fer={p.fer:.3e} "
+                f"ber={p.ber:.3e} iters={p.avg_iters:.1f}",
+                file=sys.stderr,
+            )
+
+    camp.run(progress=progress)
+    if args.out:
+        if args.out.endswith(".json"):
+            with open(args.out, "w") as f:
+                json.dump(camp.report(), f, indent=2)
+        else:
+            camp.write_csv(args.out)
+    for p in camp.points:
+        print(
+            f"snr={p.snr_db:+.2f} frames={p.frames} FER={p.fer:.4e} "
+            f"BER={p.ber:.4e} (+-{p.fer_ci95():.1e}) iters={p.avg_iters:.2f}"
+        )
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="myldpccppapi_tpu")
+    # On TPU-tunnel images the platform is pinned by a sitecustomize hook and
+    # env vars are ignored; jax.config.update before first backend use is the
+    # only override that sticks.
+    p.add_argument("--platform", default=None,
+                   help='force a JAX platform, e.g. "cpu"')
+    p.add_argument("--cpu-devices", type=int, default=None,
+                   help="number of virtual CPU devices (for mesh testing)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("test", help="reference-style roundtrip self-test")
+    t.add_argument("src_length", type=int)
+    t.add_argument("batch", type=int)
+    t.add_argument("snr", type=float)
+    t.add_argument(
+        "algo",
+        choices=["CPU", "MS", "SP", "TDMP", "MSCL", "TDMPCL"],
+        help="decode type (reference Test.cpp names)",
+    )
+    t.add_argument("--n", type=int, default=576)
+    t.add_argument("--k", type=int, default=432)
+    t.add_argument("--rate", default="3/4B")
+    t.add_argument("--seed", type=int, default=0)
+    t.set_defaults(fn=cmd_test)
+
+    w = sub.add_parser("waterfall", help="BER/FER waterfall campaign")
+    w.add_argument("--family", default="wimax",
+                   choices=["wimax", "wifi", "regular", "nr", "dvbs2"])
+    w.add_argument("--n", type=int, default=576)
+    w.add_argument("--rate", default="1/2")
+    w.add_argument("--z", type=int, default=384, help="NR lifting size")
+    w.add_argument("--bg", type=int, default=1, help="NR base graph")
+    w.add_argument("--snr", default="0:4:0.5", help='grid "a:b:step" or "1,2,3"')
+    w.add_argument("--batch", type=int, default=1024)
+    w.add_argument("--algorithm", default="min-sum",
+                   choices=["min-sum", "sum-product"])
+    w.add_argument("--schedule", default="layered",
+                   choices=["layered", "flooding"])
+    w.add_argument("--max-iters", type=int, default=40)
+    w.add_argument("--normalization", type=float, default=1.0)
+    w.add_argument("--target-errors", type=int, default=100)
+    w.add_argument("--max-frames", type=int, default=1_000_000)
+    w.add_argument("--seed", type=int, default=0)
+    w.add_argument("--checkpoint", default=None)
+    w.add_argument("--out", default=None, help=".csv or .json report path")
+    w.add_argument("-v", "--verbose", action="store_true")
+    w.set_defaults(fn=cmd_waterfall)
+
+    b = sub.add_parser("bench", help="headline throughput benchmark")
+    b.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform or args.cpu_devices:
+        import jax
+
+        if args.platform:
+            jax.config.update("jax_platforms", args.platform)
+        if args.cpu_devices:
+            jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .codes.encoder import Encoder, ru_precompute
+from .codes.encoder import Encoder, encode_numpy, ru_precompute
 from .codes.wimax import wimax
 from .decoder import Decoder
 from .ops import golden
@@ -113,7 +113,12 @@ class Coder:
         padded = np.zeros(ncw * kb, dtype=np.uint8)
         padded[: len(src)] = src
         info_bits = unpack_bits_np(padded.reshape(ncw, kb))  # [ncw, k]
-        cw = np.asarray(self._encoder(jnp.asarray(info_bits)))  # [ncw, n]
+        if ncw < 256:
+            # small streams: the host matmul beats paying an accelerator
+            # compile for a one-shot encode
+            cw = encode_numpy(self._encoder.mats, info_bits)
+        else:
+            cw = np.asarray(self._encoder(jnp.asarray(info_bits)))  # [ncw, n]
         return pack_bits_np(cw).reshape(-1)
 
     def test(self, prior_code: np.ndarray, sigma: float, seed: int = 0) -> np.ndarray:
@@ -151,7 +156,13 @@ class Coder:
         if post.shape[0] != ncw:
             raise ValueError(f"expected {ncw} codewords, got {post.shape[0]}")
         if de_type == "CPU":
-            bits = golden.decode_golden(self.code, post, max_iters=self.max_iters)[0]
+            from . import native
+
+            out = native.decode_golden_native(self.code, post, max_iters=self.max_iters)
+            if out is not None:
+                bits = out[0]
+            else:
+                bits = golden.decode_golden(self.code, post, max_iters=self.max_iters)[0]
         else:
             if de_type not in self._decoders:
                 self.add_decode_type(de_type)

@@ -1,15 +1,28 @@
 """Code construction: base matrices, QC lifting, GF(2) algebra, encoders."""
 from .qc import QCCode
-from .encoder import Encoder, EncoderMatrices, encode_numpy, ru_precompute
+from .encoder import (
+    Encoder,
+    EncoderMatrices,
+    encode_numpy,
+    generic_precompute,
+    ru_precompute,
+)
 from .wimax import wimax
 from .wifi import wifi
+from .regular import regular
+from .nr import nr_code
+from .dvbs2 import dvbs2
 
 __all__ = [
+    "dvbs2",
+    "nr_code",
     "QCCode",
     "Encoder",
     "EncoderMatrices",
     "encode_numpy",
+    "generic_precompute",
     "ru_precompute",
+    "regular",
     "wimax",
     "wifi",
 ]

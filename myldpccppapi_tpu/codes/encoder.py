@@ -17,18 +17,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .gf2 import gf2_inv, gf2_matmul
+from .gf2 import gf2_inv, gf2_matmul, gf2_rref
 from .qc import QCCode
 
-__all__ = ["EncoderMatrices", "ru_precompute", "Encoder", "encode_numpy"]
+__all__ = [
+    "EncoderMatrices",
+    "ru_precompute",
+    "generic_precompute",
+    "Encoder",
+    "encode_numpy",
+]
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
 class EncoderMatrices:
-    """Dense GF(2) parity generator: parity = W @ info (bools, [m, k])."""
+    """Dense GF(2) parity generator: parity = W @ info (bools, [m, k]).
 
-    w: np.ndarray  # [m, k] bool
-    gap: int       # the RU gap g (z), or 0 if the full-inverse fallback was used
+    For non-systematic codes (``perm is not None``) the codeword is
+    ``c[info_cols] = u, c[parity_cols] = W @ u`` — ``perm`` is the length-n
+    position array ``concat([info_cols, parity_cols])`` such that
+    ``c[perm] = concat([u, parity])``.
+    """
+
+    w: np.ndarray  # [n_parity, k] bool
+    gap: int       # the RU gap g (z), or 0 if a fallback was used
+    perm: "np.ndarray | None" = None  # [n] int64, None = systematic identity
 
 
 def ru_precompute(code: QCCode) -> EncoderMatrices:
@@ -69,11 +82,40 @@ def ru_precompute(code: QCCode) -> EncoderMatrices:
     return EncoderMatrices(w=w, gap=gap)
 
 
+def generic_precompute(h: np.ndarray, code_k: "int | None" = None) -> EncoderMatrices:
+    """Information-set encoder for an arbitrary (even rank-deficient) H.
+
+    Row-reduces H over GF(2); pivot columns become parity positions and the
+    remaining ``n - rank`` columns carry information.  The row space — hence
+    the codebook — is unchanged.  This covers code families whose parity
+    block is singular (e.g. fully regular QC codes) where the RU split
+    (``MyLdpc.cpp:142-147``) cannot apply.
+    """
+    h = np.asarray(h, dtype=np.bool_)
+    n = h.shape[1]
+    rref, pivot_cols = gf2_rref(h)
+    info_cols = np.setdiff1d(np.arange(n, dtype=np.int64), pivot_cols)
+    # row r of rref: c[pivot_r] = sum over free cols of rref[r, free] * c_free
+    w = rref[:, info_cols]  # [rank, k_eff]
+    perm = np.concatenate([info_cols, pivot_cols])
+    return EncoderMatrices(w=w, gap=0, perm=perm)
+
+
+def _scatter(perm: np.ndarray, stacked: np.ndarray) -> np.ndarray:
+    """c[perm] = stacked along the last axis (numpy)."""
+    c = np.empty_like(stacked)
+    c[..., perm] = stacked
+    return c
+
+
 def encode_numpy(mats: EncoderMatrices, info_bits: np.ndarray) -> np.ndarray:
     """Reference-path numpy encode: info_bits [..., k] 0/1 -> [..., n]."""
     info_bits = np.asarray(info_bits)
     parity = (info_bits.astype(np.int64) @ mats.w.T.astype(np.int64)) % 2
-    return np.concatenate([info_bits, parity.astype(info_bits.dtype)], axis=-1)
+    stacked = np.concatenate([info_bits, parity.astype(info_bits.dtype)], axis=-1)
+    if mats.perm is None:
+        return stacked
+    return _scatter(mats.perm, stacked)
 
 
 class Encoder:
@@ -85,8 +127,21 @@ class Encoder:
 
     def __init__(self, code: QCCode, mats: EncoderMatrices | None = None):
         self.code = code
-        self.mats = mats if mats is not None else ru_precompute(code)
-        self._wt = jnp.asarray(self.mats.w.T, dtype=jnp.int8)  # [k, m]
+        if mats is None:
+            if code.info_cols is not None:
+                mats = generic_precompute(code.h_dense())
+            else:
+                mats = ru_precompute(code)
+        self.mats = mats
+        self.k = self.mats.w.shape[1]
+        self._wt = jnp.asarray(self.mats.w.T, dtype=jnp.int8)  # [k, n_parity]
+        # inverse permutation as a gather (XLA-friendly): c = stacked[inv_perm]
+        if self.mats.perm is not None:
+            inv = np.empty(len(self.mats.perm), dtype=np.int64)
+            inv[self.mats.perm] = np.arange(len(self.mats.perm))
+            self._inv_perm = jnp.asarray(inv)
+        else:
+            self._inv_perm = None
         self._encode = jax.jit(self._encode_impl)
 
     def _encode_impl(self, info_bits: jax.Array) -> jax.Array:
@@ -98,11 +153,14 @@ class Encoder:
             preferred_element_type=jnp.int32,
         )
         parity = (acc & 1).astype(info_bits.dtype)
-        return jnp.concatenate([info_bits, parity], axis=-1)
+        stacked = jnp.concatenate([info_bits, parity], axis=-1)
+        if self._inv_perm is None:
+            return stacked
+        return stacked[..., self._inv_perm]
 
     def __call__(self, info_bits: jax.Array) -> jax.Array:
-        if info_bits.shape[-1] != self.code.k:
+        if info_bits.shape[-1] != self.k:
             raise ValueError(
-                f"expected info length {self.code.k}, got {info_bits.shape[-1]}"
+                f"expected info length {self.k}, got {info_bits.shape[-1]}"
             )
         return self._encode(info_bits)

@@ -44,6 +44,12 @@ class QCCode:
     #: Number of leading systematic bits that are never transmitted
     #: (5G NR punctures the first 2*Z columns).  0 for 802.16e/802.11n.
     punctured_front: int = 0
+    #: Information-bit positions within the codeword, or None for the
+    #: systematic default (first ``k = n - m`` columns).  Set by code
+    #: families whose H is rank-deficient (e.g. fully regular (3,6) QC
+    #: codes, where the parity block is provably singular over GF(2)) —
+    #: the generic encoder then picks pivot columns as parity positions.
+    info_cols: "np.ndarray | None" = None
 
     def __post_init__(self):
         base = np.asarray(self.base, dtype=np.int32)
@@ -72,11 +78,25 @@ class QCCode:
 
     @property
     def k(self) -> int:
+        """Design dimension n - m (equals the true dimension when H has
+        full rank; see :attr:`k_info` for the general case)."""
         return self.n - self.m
 
     @property
+    def k_info(self) -> int:
+        """True code dimension: n - rank(H)."""
+        return len(self.info_cols) if self.info_cols is not None else self.k
+
+    @property
+    def info_positions(self) -> np.ndarray:
+        """Codeword positions carrying information bits."""
+        if self.info_cols is not None:
+            return np.asarray(self.info_cols, dtype=np.int64)
+        return np.arange(self.k, dtype=np.int64)
+
+    @property
     def rate(self) -> float:
-        return self.k / self.n
+        return self.k_info / self.n
 
     # -- block structure ---------------------------------------------------
     @cached_property

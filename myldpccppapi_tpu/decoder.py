@@ -13,6 +13,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from .codes.qc import QCCode
 from .ops.bp import DecodeResult, decode_qc
 from .utils.config import DecoderConfig
@@ -20,11 +22,13 @@ from .utils.config import DecoderConfig
 __all__ = ["Decoder", "DecodeResult"]
 
 
-def _implementation(cfg: DecoderConfig) -> str:
+def _implementation(cfg: DecoderConfig, code) -> str:
     if cfg.implementation != "auto":
         return cfg.implementation
-    # Pallas fused kernels are used on TPU when the code fits VMEM; the jnp
-    # path is the portable fallback (CPU tests, interpreters).
+    if not isinstance(code, QCCode):
+        return "edgelist"
+    # Fused Pallas kernels on TPU when the code's working set fits VMEM;
+    # the jnp/XLA path is the portable fallback (CPU tests, interpreters).
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:
@@ -32,19 +36,23 @@ def _implementation(cfg: DecoderConfig) -> str:
     if platform == "tpu":
         from .ops import pallas_bp
 
-        return "pallas" if pallas_bp.supported(None) else "jnp"
+        return "pallas" if pallas_bp.supported(code) else "jnp"
     return "jnp"
 
 
 class Decoder:
     """Batched LDPC decoder bound to one code + one configuration.
 
+    Accepts a :class:`QCCode` (fast circulant-roll paths: jnp/XLA or fused
+    Pallas kernel) or any object exposing ``n``/``m``/``h_coo()`` (generic
+    edge-list path — DVB-S2, random constructions).
+
     >>> dec = Decoder(wimax(576, "3/4B"), DecoderConfig(schedule="layered"))
     >>> result = dec(llr)          # llr: [B, n] float, positive => bit 0
     >>> info = dec.info_bits(result)
     """
 
-    def __init__(self, code: QCCode, config: DecoderConfig | None = None, **overrides):
+    def __init__(self, code, config: DecoderConfig | None = None, **overrides):
         if config is None:
             config = DecoderConfig()
         if overrides:
@@ -53,15 +61,28 @@ class Decoder:
             config = dataclasses.replace(config, **overrides)
         self.code = code
         self.config = config
-        impl = _implementation(config)
+        impl = _implementation(config, code)
         if impl == "pallas":
             from .ops import pallas_bp
 
             if pallas_bp.supported(code):
-                self._fn = jax.jit(partial(pallas_bp.decode_qc_pallas, code, config))
+                self._fn = partial(pallas_bp.decode_qc_pallas, code, config)
             else:
                 impl = "jnp"
-        if impl == "jnp":
+        if impl == "edgelist":
+            from .ops.bp_edgelist import build_edge_index, decode_edgelist
+
+            idx = getattr(code, "edge_index", None)
+            if idx is None:
+                rows, cols = code.h_coo()
+                layer = (
+                    np.arange(code.m, dtype=np.int32) // code.z
+                    if isinstance(code, QCCode)
+                    else None
+                )
+                idx = build_edge_index(rows, cols, code.n, code.m, layer)
+            self._fn = jax.jit(partial(decode_edgelist, idx, config))
+        elif impl == "jnp":
             self._fn = jax.jit(partial(decode_qc, code, config))
         self.implementation = impl
 
@@ -73,8 +94,11 @@ class Decoder:
         return self._fn(llr.astype(jnp.float32))
 
     def info_bits(self, result: DecodeResult) -> jax.Array:
-        """Systematic information bits of the decoded codewords: [B, k]."""
-        return result.bits[:, : self.code.k]
+        """Information bits of the decoded codewords: [B, k_info]."""
+        pos = getattr(self.code, "info_positions", None)
+        if pos is None:
+            return result.bits[:, : self.code.k]
+        return result.bits[:, jnp.asarray(pos)]
 
     def lower(self, batch_size: int):
         """Lower/compile for a fixed batch size (for AOT benchmarking)."""

@@ -1,13 +1,281 @@
-"""Fused Pallas TPU decoder kernels (placeholder — implemented later this
-round; the jnp/XLA path in ops/bp.py is the portable implementation)."""
+"""Fused Pallas TPU decoder: the whole iterative BP decode in ONE kernel.
+
+TPU-native counterpart of the reference's fully-fused OpenCL decoders
+(``decodeOnceTDMP``/``decodeOnceMS``, ``decodeCL.c:307-567``): where the
+reference keeps messages in work-group local memory and regenerates the QC
+structure from the seed on-device, this kernel keeps the posterior and all
+check-to-variable messages resident in VMEM, unrolls the base-matrix
+structure statically at trace time (every Tanner-graph gather/scatter is a
+compile-time cyclic roll of a ``[z, Bt]`` tile), and runs the iteration loop
+as an in-kernel ``lax.while_loop`` with the syndrome early-exit computed
+on-device — 2 HBM crossings per batch tile (LLRs in, bits out) regardless of
+iteration count, versus the reference's per-iteration host readback
+(``MyLdpc.cpp:818-833``).
+
+Grid = batch tiles; lanes = codewords (the reference's NDRange dim 0),
+sublanes = the z rows of a circulant block.  Early-termination semantics
+match ``decodeCL.c:27-28,296-300``: converged codewords latch their output
+bits and iteration count while the rest of the tile continues.
+"""
 from __future__ import annotations
 
-__all__ = ["supported", "decode_qc_pallas"]
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..codes.qc import QCCode
+from ..utils.config import DecoderConfig
+
+__all__ = ["supported", "decode_qc_pallas", "choose_batch_tile"]
+
+_LANES = 128
+_VMEM_BUDGET = 96 * 1024 * 1024  # leave headroom below ~128 MiB v5p/v6e VMEM? conservative budget set in choose_batch_tile
+_INF = 1e30
 
 
-def supported(code) -> bool:
-    return False
+def _row_align(x: jax.Array, shift: int) -> jax.Array:
+    """Column-aligned [z, Bt] tile -> row-aligned (= jnp.roll(x, -shift, 0)):
+    after this, sublane r holds the variable (r + shift) % z of the block."""
+    z = x.shape[0]
+    shift = shift % z
+    if shift == 0:
+        return x
+    return jnp.concatenate([x[shift:], x[:shift]], axis=0)
 
 
-def decode_qc_pallas(code, cfg, llr):
-    raise NotImplementedError("Pallas decoder kernels not yet available")
+def _col_align(x: jax.Array, shift: int) -> jax.Array:
+    """Inverse of :func:`_row_align` (= jnp.roll(x, +shift, 0))."""
+    z = x.shape[0]
+    return _row_align(x, z - (shift % z))
+
+
+def choose_batch_tile(code: QCCode, vmem_budget: int = 24 * 1024 * 1024) -> int:
+    """Largest power-of-two lane tile whose VMEM working set fits the budget.
+
+    Working set per lane: posterior + channel copy (2 * n) + messages
+    (num_edges) floats, plus the output bits.
+    """
+    floats_per_lane = 2 * code.n + code.num_edges + code.n  # p, chan, r, bits
+    bt = _LANES
+    while bt > 8 and floats_per_lane * 4 * bt > vmem_budget:
+        bt //= 2
+    return bt
+
+
+def supported(code: QCCode | None) -> bool:
+    if code is None:
+        return True
+    # any QC code fits; very long codes just use a smaller batch tile
+    return choose_batch_tile(code) >= 8
+
+
+def _check_update_rows(qs, cfg: DecoderConfig):
+    """Per-layer check-node update on a list of row-aligned [z, Bt] tiles.
+
+    Min-sum: the first/second-minimum exclusion trick, vectorized over the
+    tile (reference per-thread scalar version: ``decodeCL.c:348-379``).
+    Sum-product: self-inverse phi transform in the log domain.
+    Returns the list of new check-to-variable messages.
+    """
+    if cfg.algorithm == "min-sum":
+        m1 = jnp.full_like(qs[0], _INF)
+        m2 = jnp.full_like(qs[0], _INF)
+        sgn = jnp.ones_like(qs[0])
+        absq = []
+        for q in qs:
+            a = jnp.abs(q)
+            absq.append(a)
+            m2 = jnp.minimum(m2, jnp.maximum(m1, a))
+            m1 = jnp.minimum(m1, a)
+            sgn = sgn * jnp.where(q < 0, -1.0, 1.0)
+        out = []
+        for q, a in zip(qs, absq):
+            mag = jnp.where(a == m1, m2, m1)
+            if cfg.offset:
+                mag = jnp.maximum(mag - cfg.offset, 0.0)
+            if cfg.normalization != 1.0:
+                mag = cfg.normalization * mag
+            # excluding-self sign: total sign product times own sign
+            s_excl = sgn * jnp.where(q < 0, -1.0, 1.0)
+            out.append(s_excl * mag)
+        return out
+    # sum-product (log domain)
+    def phi(x):
+        x = jnp.clip(x, 1e-7, 30.0)
+        ex = jnp.exp(-x)
+        return jnp.log1p(ex) - jnp.log1p(-ex)
+
+    ph = [phi(jnp.abs(q)) for q in qs]
+    total = functools.reduce(jnp.add, ph)
+    sgn = functools.reduce(
+        jnp.multiply, [jnp.where(q < 0, -1.0, 1.0) for q in qs]
+    )
+    out = []
+    for q, p in zip(qs, ph):
+        s_excl = sgn * jnp.where(q < 0, -1.0, 1.0)
+        out.append(s_excl * phi(total - p))
+    return out
+
+
+def _syndrome_fail_tile(p_read, layers):
+    """[1, bt] float mask (1.0 = some check fails) from posterior reader."""
+    fail = None
+    for entries in layers:
+        par = None
+        for (_, j, s) in entries:
+            bit = (_row_align(p_read(j), s) <= 0.0).astype(jnp.int32)
+            par = bit if par is None else par + bit
+        f = jnp.max((par & 1).astype(jnp.float32), axis=0, keepdims=True)
+        fail = f if fail is None else jnp.maximum(fail, f)
+    return fail  # [1, bt]
+
+
+def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int):
+    """Emit the fused decode kernel for one (code, config, tile) triple."""
+    z = code.z
+    br, bc, sh = code.blocks
+    ptr = code.layer_ptr
+    layers = []
+    for i in range(code.m_b):
+        p0, p1 = int(ptr[i]), int(ptr[i + 1])
+        layers.append([(e, int(bc[e]), int(sh[e])) for e in range(p0, p1)])
+
+    layered = cfg.schedule == "layered"
+
+    def kernel(chan_ref, bits_ref, conv_ref, iters_ref, texec_ref, p_scr, r_scr, done_scr):
+        # load channel LLRs; posterior starts at the channel value.
+        # Per-lane decode state (done mask, iteration counts) lives in VMEM
+        # refs rather than while-loop carries: Mosaic cannot relayout small
+        # [1, bt] vector carries across iterations, and scalar carries keep
+        # the loop condition in SREGs.
+        p_scr[:] = chan_ref[:]
+        r_scr[:] = jnp.zeros_like(r_scr)
+        bits_ref[:] = jnp.zeros_like(bits_ref)
+        done_scr[:] = jnp.zeros_like(done_scr)
+        iters_ref[:] = jnp.zeros_like(iters_ref)
+
+        def sweep_layered():
+            for entries in layers:
+                qs = [
+                    _row_align(p_scr[j], s) - r_scr[e] for (e, j, s) in entries
+                ]
+                rn = _check_update_rows(qs, cfg)
+                for (q, r_new, (e, j, s)) in zip(qs, rn, entries):
+                    p_scr[j] = _col_align(q + r_new, s)
+                    r_scr[e] = r_new
+
+        def sweep_flooding():
+            # q = p - r is the flooding variable->check message when p is the
+            # previous posterior and r the previous check messages
+            all_rn = []
+            for entries in layers:
+                qs = [
+                    _row_align(p_scr[j], s) - r_scr[e] for (e, j, s) in entries
+                ]
+                all_rn.append(_check_update_rows(qs, cfg))
+            # recompute posterior = channel + sum of col-aligned R
+            for j in range(code.n_b):
+                p_scr[j] = chan_ref[j]
+            for entries, rn in zip(layers, all_rn):
+                for (r_new, (e, j, s)) in zip(rn, entries):
+                    p_scr[j] = p_scr[j] + _col_align(r_new, s)
+                    r_scr[e] = r_new
+
+        def body(carry):
+            t, _ = carry
+            if layered:
+                sweep_layered()
+            else:
+                sweep_flooding()
+            fail = _syndrome_fail_tile(lambda j: p_scr[j], layers)  # [1, bt]
+            done = done_scr[:]
+            # latch outputs of codewords that were already done
+            keep = done.reshape(1, 1, bt) > 0.0
+            new_bits = (p_scr[:] <= 0.0).astype(jnp.int8)
+            bits_ref[:] = jnp.where(keep, bits_ref[:], new_bits)
+            iters_ref[:] = jnp.where(done > 0.0, iters_ref[:], t + 1)
+            done = jnp.maximum(done, 1.0 - fail)
+            done_scr[:] = done
+            return t + 1, jnp.sum(done)
+
+        def cond(carry):
+            t, n_done = carry
+            c = t < cfg.max_iters
+            if cfg.early_exit:
+                c = jnp.logical_and(c, n_done < float(bt))
+            return c
+
+        t_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(0.0)))
+        conv_ref[:] = (done_scr[:] > 0.0).astype(jnp.int8)
+        texec_ref[:] = jnp.full_like(texec_ref, t_end)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3))
+def decode_qc_pallas(code: QCCode, cfg: DecoderConfig, llr: jax.Array, interpret: bool = False):
+    """Decode [B, n] channel LLRs with the fused kernel.
+
+    Returns the same DecodeResult as :func:`myldpccppapi_tpu.ops.bp.decode_qc`
+    (bits include the full codeword; ``total_iters`` is the max over tiles).
+    """
+    from .bp import DecodeResult
+
+    n_b, z = code.n_b, code.z
+    b = llr.shape[0]
+    bt = choose_batch_tile(code)
+    bt = min(bt, max(8, 1 << (b - 1).bit_length()))  # no bigger than batch (pow2)
+    pad = (-b) % bt
+    llr_p = jnp.pad(llr.astype(jnp.float32), ((0, pad), (0, 0)))
+    bp = b + pad
+    # [B, n] -> [n_b, z, B]: lanes = codewords, sublanes = circulant rows
+    chan = llr_p.T.reshape(n_b, z, bp)
+
+    kernel = _build_kernel(code, cfg, bt)
+    grid = (bp // bt,)
+    out_shape = (
+        jax.ShapeDtypeStruct((n_b, z, bp), jnp.int8),   # bits
+        jax.ShapeDtypeStruct((1, bp), jnp.int8),         # converged
+        jax.ShapeDtypeStruct((1, bp), jnp.int32),        # iterations (latched)
+        jax.ShapeDtypeStruct((1, bp), jnp.int32),        # executed per tile
+    )
+    in_specs = [pl.BlockSpec((n_b, z, bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)]
+    out_specs = (
+        pl.BlockSpec((n_b, z, bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+    )
+    bits, conv, iters, texec = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((n_b, z, bt), jnp.float32),            # posterior
+            pltpu.VMEM((code.num_blocks, z, bt), jnp.float32),  # R messages
+            pltpu.VMEM((1, bt), jnp.float32),                   # done mask
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),  # tiles are independent (megacore)
+        ),
+        interpret=interpret,
+    )(chan)
+
+    bits_bn = bits.reshape(n_b * z, bp).T[:b].astype(jnp.uint8)  # [B, n]
+    conv_b = conv[0, :b] > 0
+    iters_b = iters[0, :b]
+    return DecodeResult(
+        bits=bits_bn,
+        converged=conv_b,
+        # batch iterations executed = the slowest tile's loop count (the jnp
+        # path's total_iters counts the single shared loop the same way)
+        iterations=iters_b,
+        total_iters=jnp.max(texec[0]),
+    )

@@ -26,7 +26,8 @@ class DecoderConfig:
     early_exit:   stop when every codeword in the (local) batch satisfies all
                   parity checks — the on-device replacement for the
                   reference's per-iteration flag readback (MyLdpc.cpp:818-833)
-    implementation: "auto" | "jnp" | "pallas"
+    implementation: "auto" | "jnp" | "pallas" | "edgelist"
+                  (edgelist = generic gather/scatter path for non-QC codes)
     """
 
     algorithm: str = "min-sum"
@@ -42,7 +43,7 @@ class DecoderConfig:
             raise ValueError(f"unknown algorithm {self.algorithm!r}")
         if self.schedule not in ("flooding", "layered"):
             raise ValueError(f"unknown schedule {self.schedule!r}")
-        if self.implementation not in ("auto", "jnp", "pallas"):
+        if self.implementation not in ("auto", "jnp", "pallas", "edgelist"):
             raise ValueError(f"unknown implementation {self.implementation!r}")
 
 

@@ -1,18 +1,19 @@
-"""Test configuration: force an 8-device virtual CPU mesh before jax import.
+"""Test configuration: force an 8-device virtual CPU mesh.
 
-Multi-chip sharding paths are exercised on virtual CPU devices
-(``--xla_force_host_platform_device_count``), per the project's test strategy
-(SURVEY.md §4): the reference has no test framework at all, so unit tests,
-golden-model parity, and sharded-statistics tests are all new here.
+Multi-chip sharding paths are exercised on virtual CPU devices, per the
+project's test strategy (SURVEY.md §4): the reference has no test framework
+at all, so unit tests, golden-model parity, and sharded-statistics tests are
+all new here.
+
+TPU-tunnel images preselect a TPU backend (JAX_PLATFORMS + a sitecustomize
+PJRT plugin registration), so env vars alone are not enough — but backends
+are lazily initialized, and conftest runs before any test imports execute a
+JAX operation, so explicit config updates here still win.
 """
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

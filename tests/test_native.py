@@ -1,0 +1,111 @@
+"""Native C++ GF(2) kernels: parity vs the NumPy reference implementations.
+
+If the shared library cannot be built in this environment, the tests assert
+only that the NumPy fallbacks keep working (the dispatch contract).
+"""
+import numpy as np
+import pytest
+
+from myldpccppapi_tpu import native
+from myldpccppapi_tpu.codes.gf2 import gf2_inv, gf2_matmul, gf2_rank
+
+
+def _numpy_rref(m):
+    """Small independent RREF for cross-checking (no native dispatch)."""
+    m = (np.asarray(m) % 2).astype(np.bool_).copy()
+    rows, cols = m.shape
+    rank, piv = 0, []
+    for c in range(cols):
+        nz = np.nonzero(m[rank:, c])[0]
+        if nz.size == 0:
+            continue
+        p = rank + nz[0]
+        m[[rank, p]] = m[[p, rank]]
+        sel = m[:, c].copy()
+        sel[rank] = False
+        m[sel] ^= m[rank]
+        piv.append(c)
+        rank += 1
+        if rank == rows:
+            break
+    return m[:rank], np.asarray(piv, dtype=np.int64)
+
+
+def test_pack_roundtrip(rng):
+    bits = rng.integers(0, 2, size=(4, 128), dtype=np.uint8)
+    packed = native.pack_bits(bits)
+    assert packed.shape == (4, 16)
+    assert (native.unpack_bits(packed) == bits).all()
+    # LSB-first contract: byte 0 bit 0 is bits[..., 0]
+    assert ((packed[:, 0] & 1) == bits[:, 0]).all()
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_rref_matches_numpy(rng):
+    m = rng.integers(0, 2, size=(120, 250), dtype=np.uint8)
+    rr_n, piv_n = native.rref_packed(m)
+    rr_p, piv_p = _numpy_rref(m)
+    assert (piv_n == piv_p).all()
+    assert (rr_n == rr_p).all()
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_inv_matches_numpy(rng):
+    for _ in range(10):
+        a = rng.integers(0, 2, size=(96, 96), dtype=np.uint8)
+        if gf2_rank(a) == 96:
+            break
+    inv_native = native.inv_packed(a)
+    assert (gf2_matmul(a, inv_native) == np.eye(96, dtype=bool)).all()
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_inv_raises_on_singular():
+    a = np.zeros((8, 8), dtype=np.uint8)
+    with pytest.raises(np.linalg.LinAlgError):
+        native.inv_packed(a)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_matmul_matches_numpy(rng):
+    a = rng.integers(0, 2, size=(70, 130), dtype=np.uint8)
+    b = rng.integers(0, 2, size=(130, 90), dtype=np.uint8)
+    ref = (a.astype(np.int64) @ b.astype(np.int64)) % 2 == 1
+    assert (native.matmul_packed(a, b) == ref).all()
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_golden_decoder_matches_numpy(rng):
+    """C++ decodeCPU port vs the float64 NumPy golden: same convergence and
+    iteration counts, bit-exact on converged frames (float32 vs float64
+    order effects only matter on capped chaotic trajectories)."""
+    import jax
+    import jax.numpy as jnp
+
+    from myldpccppapi_tpu import wimax
+    from myldpccppapi_tpu.codes.encoder import Encoder, encode_numpy
+    from myldpccppapi_tpu.ops import golden
+    from myldpccppapi_tpu.ops.channel import transmit
+
+    code = wimax(576, "1/2")
+    enc = Encoder(code)
+    u = rng.integers(0, 2, size=(8, code.k), dtype=np.uint8)
+    c = encode_numpy(enc.mats, u)
+    llr, _ = transmit(jax.random.PRNGKey(0), jnp.asarray(c), snr_db=4.0)
+    llr = np.asarray(llr, np.float32)
+    gb, gc, gi = golden.decode_golden(code, llr)
+    nb, nc, ni = native.decode_golden_native(code, llr)
+    assert (nc == gc).all() and (ni == gi).all()
+    assert (nb[gc] == gb[gc]).all()
+    assert (nb[:, : code.k][gc] == u[gc]).all()
+
+
+def test_gf2_dispatch_large(rng):
+    """gf2_rref on a >=256-wide matrix goes through the native path when
+    available and must agree with the small-path implementation."""
+    from myldpccppapi_tpu.codes.gf2 import gf2_rref
+
+    m = rng.integers(0, 2, size=(260, 300), dtype=np.uint8)
+    rr, piv = gf2_rref(m)
+    rr2, piv2 = _numpy_rref(m)
+    assert (rr == rr2).all() and (piv == piv2).all()

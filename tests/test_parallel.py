@@ -1,0 +1,81 @@
+"""Sharded campaign step on the 8-device virtual CPU mesh.
+
+Validates the SURVEY.md §2.3 scaling design: batch sharded over "data",
+SNR grid over "snr", psum'd exact statistics — and that sharded execution is
+numerically identical to the equivalent single-device run.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myldpccppapi_tpu import DecoderConfig, Encoder, wimax
+from myldpccppapi_tpu.parallel import (
+    make_mesh,
+    make_sharded_campaign_step,
+    sim_step,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    code = wimax(576, "1/2")
+    cfg = DecoderConfig(schedule="layered", max_iters=12)
+    enc = Encoder(code)
+    w_t = jnp.asarray(enc.mats.w.T, dtype=jnp.int8)
+    return code, cfg, w_t
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+
+
+def test_sim_step_counts(setup):
+    code, cfg, w_t = setup
+    stats = jax.jit(
+        lambda k, s: sim_step(code, cfg, k, s, batch=32)
+    )(jax.random.PRNGKey(0), jnp.float32(4.0))
+    assert int(stats.frames) == 32
+    assert int(stats.info_bits) == 32 * code.k
+    assert int(stats.bit_errors) >= 0
+    assert int(stats.frame_errors) <= 32
+
+
+def test_sharded_data_axis(setup):
+    code, cfg, w_t = setup
+    mesh = make_mesh((8,), ("data",))
+    step = make_sharded_campaign_step(code, cfg, mesh, batch_per_device=4, num_snr=2)
+    stats = jax.jit(step)(jax.random.PRNGKey(1), jnp.asarray([2.0, 5.0], jnp.float32))
+    frames = np.asarray(stats.frames)
+    assert frames.shape == (2,)
+    assert (frames == 32).all()  # 4 per device * 8 devices per SNR point
+    # errors at 2 dB must exceed errors at 5 dB on this code
+    fe = np.asarray(stats.frame_errors)
+    assert fe[0] >= fe[1]
+
+
+def test_sharded_2d_mesh(setup):
+    code, cfg, w_t = setup
+    mesh = make_mesh((2, 4), ("snr", "data"))
+    step = make_sharded_campaign_step(
+        code, cfg, mesh, batch_per_device=4, num_snr=4, snr_axis="snr"
+    )
+    snr = jnp.asarray([1.0, 2.0, 4.0, 6.0], jnp.float32)
+    stats = jax.jit(step)(jax.random.PRNGKey(2), snr)
+    frames = np.asarray(stats.frames)
+    assert frames.shape == (4,)
+    assert (frames == 16).all()  # 4 per device * 4 data shards
+
+
+def test_independent_noise_per_shard(setup):
+    """Each data shard must fold its mesh position into the PRNG key: with 8
+    shards of 4 at a noisy SNR, per-point bit errors should differ from 8x
+    any single shard's (i.e. shards are not replicas)."""
+    code, cfg, w_t = setup
+    mesh = make_mesh((8,), ("data",))
+    step = make_sharded_campaign_step(code, cfg, mesh, batch_per_device=4, num_snr=1)
+    stats = jax.jit(step)(jax.random.PRNGKey(3), jnp.asarray([1.0], jnp.float32))
+    mesh1 = make_mesh((1,), ("data",), devices=jax.devices()[:1])
+    step1 = make_sharded_campaign_step(code, cfg, mesh1, batch_per_device=4, num_snr=1)
+    stats1 = jax.jit(step1)(jax.random.PRNGKey(3), jnp.asarray([1.0], jnp.float32))
+    assert int(stats.bit_errors[0]) != 8 * int(stats1.bit_errors[0])
