@@ -78,6 +78,9 @@ def main() -> None:
             schedule="layered",
             normalization=0.75,
             max_iters=40,
+            # two-phase straggler triage (bit-identical, see ops/triage.py):
+            # without it every 128-lane tile runs to the slowest lane's cap
+            triage_iters=6,
         ),
     )
     llr_dev = jax.device_put(jnp.asarray(llr))

@@ -84,7 +84,41 @@ class Decoder:
             self._fn = jax.jit(partial(decode_edgelist, idx, config))
         elif impl == "jnp":
             self._fn = jax.jit(partial(decode_qc, code, config))
+        if config.triage_iters > 0 and impl in ("pallas", "jnp"):
+            self._fn = self._make_triage(impl)
         self.implementation = impl
+
+    def _make_triage(self, impl: str):
+        """Wrap the decoder in the two-phase straggler triage
+        (ops/triage.py): fast short pass, then full-budget re-decode of the
+        compacted unconverged frames.  Bit-identical to single-pass."""
+        import dataclasses
+
+        from .ops.triage import decode_two_phase
+
+        cfg = self.config
+        fast_cfg = dataclasses.replace(
+            cfg, max_iters=cfg.triage_iters, triage_iters=0
+        )
+        full_cfg = dataclasses.replace(cfg, triage_iters=0)
+        if impl == "pallas":
+            from .ops import pallas_bp
+
+            fast = partial(pallas_bp.decode_qc_pallas, self.code, fast_cfg)
+            full = partial(pallas_bp.decode_qc_pallas, self.code, full_cfg)
+        else:
+            fast = partial(decode_qc, self.code, fast_cfg)
+            full = partial(decode_qc, self.code, full_cfg)
+
+        @jax.jit
+        def fn(llr):
+            b = llr.shape[0]
+            cap = max(8, int(b * cfg.triage_cap_frac))
+            if cap >= b:
+                return full(llr)
+            return decode_two_phase(fast, full, full, llr, cap)
+
+        return fn
 
     def __call__(self, llr: jax.Array) -> DecodeResult:
         if llr.ndim != 2 or llr.shape[-1] != self.code.n:

@@ -145,9 +145,9 @@ def decode_edgelist(idx: EdgeIndex, cfg: DecoderConfig, llr: jax.Array) -> Decod
         return padded[idxs]
 
     layered = cfg.schedule == "layered" and idx.num_layers > 1
-    layer_rows = (
+    layer_row_edges = (
         [
-            jnp.asarray(np.nonzero(idx.row_layer == l)[0].astype(np.int32))
+            jnp.asarray(idx.row_edges[idx.row_layer == l])
             for l in range(idx.num_layers)
         ]
         if layered
@@ -163,15 +163,17 @@ def decode_edgelist(idx: EdgeIndex, cfg: DecoderConfig, llr: jax.Array) -> Decod
     def body(carry):
         r, post, bits_out, done, iters, t = carry
         if layered:
-            for rows_l in layer_rows:
-                re_l = row_edges[rows_l]  # [Ml, dr] (static gather)
-                q_e = post[edge_col] - r  # [E, B]
-                qr = gather_pad(q_e, re_l, _INF)  # [Ml, dr, B]
-                rn = _check_update(qr, cfg)
+            for re_l in layer_row_edges:
+                # gather ONLY this layer's edges (not the full edge set):
+                # [Ml, dr] ids -> columns -> posterior values
                 flat = re_l.reshape(-1)  # contains pad id E -> dropped below
+                cols_l = edge_col_pad[flat]  # pad -> n (out of bounds)
+                post_l = post.at[cols_l].get(mode="fill", fill_value=_INF)
+                r_l = r.at[flat].get(mode="fill", fill_value=0.0)
+                qr = (post_l - r_l).reshape(*re_l.shape, b)  # [Ml, dr, B]
+                rn = _check_update(qr, cfg)
                 rn_flat = rn.reshape(-1, b)
-                delta = rn_flat - gather_pad(r, flat, 0.0)
-                post = post.at[edge_col_pad[flat]].add(delta, mode="drop")
+                post = post.at[cols_l].add(rn_flat - r_l, mode="drop")
                 r = r.at[flat].set(rn_flat, mode="drop")
         else:
             q_e = post[edge_col] - r

@@ -37,6 +37,16 @@ class DecoderConfig:
     offset: float = 0.0
     early_exit: bool = True
     implementation: str = "auto"
+    #: Two-phase straggler triage (ops/triage.py): when > 0, decode the full
+    #: batch with this short iteration budget first, then re-decode only the
+    #: unconverged frames (compacted to a small buffer) at max_iters.
+    #: Bit-identical to single-pass decoding; big throughput win near
+    #: operating points where ~1% of frames dominate tile occupancy.
+    triage_iters: int = 0
+    #: Capacity of the straggler buffer as a fraction of the batch; if more
+    #: frames fail the fast pass, the wrapper falls back to a full-batch
+    #: full-budget decode.
+    triage_cap_frac: float = 0.125
 
     def __post_init__(self):
         if self.algorithm not in ("min-sum", "sum-product"):
