@@ -155,9 +155,14 @@ def decode_edgelist(idx: EdgeIndex, cfg: DecoderConfig, llr: jax.Array) -> Decod
     )
 
     def syndrome_fail(post):
-        bits = (post <= 0.0).astype(jnp.int32)  # [n, B]
+        # int8 end to end: the [M, dr, B] gather is the biggest transient of
+        # the decode on long codes (DVB-S2: 32400 x ~10 x B)
+        bits = (post <= 0.0).astype(jnp.int8)  # [n, B]
         bits_e = bits[edge_col]  # [E, B]
-        par = jnp.sum(gather_pad(bits_e, row_edges, 0), axis=1) & 1  # [M, B]
+        par = jnp.sum(
+            gather_pad(bits_e, row_edges, jnp.int8(0)), axis=1,
+            dtype=jnp.int32,
+        ) & 1  # [M, B]
         return jnp.any(par == 1, axis=0)  # [B]
 
     def body(carry):
