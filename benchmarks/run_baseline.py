@@ -238,7 +238,16 @@ def config5():
 
 
 def main():
-    wanted = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
+    args = [a for a in sys.argv[1:]]
+    if "--cpu-mesh" in args:
+        # force the 8-device virtual CPU mesh (env vars are overridden by
+        # TPU-tunnel sitecustomize hooks; config updates win)
+        args.remove("--cpu-mesh")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+    wanted = [int(a) for a in args] or [1, 2, 3, 4, 5]
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
     for c in wanted:
         fns[c]()

@@ -96,7 +96,8 @@ def _check_update_sumproduct(qs: jax.Array, alpha: float, beta: float) -> jax.Ar
     Uses the self-inverse transform phi(x) = -log(tanh(x/2)):
     |R_e| = phi( sum_j phi(|Q_j|) - phi(|Q_e|) ).  Numerically stable
     replacement for the reference's probability-domain q0/q1 products
-    (``decodeCL.c:25-41``).
+    (``decodeCL.c:25-41``).  Computed in f32 even for bf16 messages: phi's
+    precision drives the decoder's threshold.
     """
     del alpha, beta
 
@@ -106,7 +107,7 @@ def _check_update_sumproduct(qs: jax.Array, alpha: float, beta: float) -> jax.Ar
         ex = jnp.exp(-x)
         return jnp.log1p(ex) - jnp.log1p(-ex)
 
-    a = jnp.abs(qs)
+    a = jnp.abs(qs).astype(jnp.float32)
     neg = (qs < 0).astype(jnp.int32)
     ph = phi(a)
     total = jnp.sum(ph, axis=0, keepdims=True)
@@ -281,6 +282,8 @@ def decode_layered(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeRe
 
 def decode_qc(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeResult:
     """Dispatch on schedule.  ``llr``: [B, n] float, positive => bit 0."""
+    if cfg.msg_dtype == "bfloat16":
+        llr = llr.astype(jnp.bfloat16)
     if cfg.schedule == "layered":
         return decode_layered(code, cfg, llr)
     return decode_flooding(code, cfg, llr)

@@ -54,15 +54,17 @@ def _col_align(x: jax.Array, shift: int) -> jax.Array:
     return _row_align(x, z - (shift % z))
 
 
-def choose_batch_tile(code: QCCode, vmem_budget: int = 24 * 1024 * 1024) -> int:
+def choose_batch_tile(
+    code: QCCode, vmem_budget: int = 24 * 1024 * 1024, itemsize: int = 4
+) -> int:
     """Largest power-of-two lane tile whose VMEM working set fits the budget.
 
     Working set per lane: posterior + channel copy (2 * n) + messages
-    (num_edges) floats, plus the output bits.
+    (num_edges) elements of ``itemsize`` bytes, plus the output bits.
     """
-    floats_per_lane = 2 * code.n + code.num_edges + code.n  # p, chan, r, bits
+    per_lane = (2 * code.n + code.num_edges) * itemsize + code.n  # p,chan,r + bits
     bt = _LANES
-    while bt > 8 and floats_per_lane * 4 * bt > vmem_budget:
+    while bt > 8 and per_lane * bt > vmem_budget:
         bt //= 2
     return bt
 
@@ -82,9 +84,10 @@ def _check_update_rows(qs, cfg: DecoderConfig):
     Sum-product: self-inverse phi transform in the log domain.
     Returns the list of new check-to-variable messages.
     """
+    big = jnp.asarray(jnp.finfo(qs[0].dtype).max, qs[0].dtype)
     if cfg.algorithm == "min-sum":
-        m1 = jnp.full_like(qs[0], _INF)
-        m2 = jnp.full_like(qs[0], _INF)
+        m1 = jnp.full_like(qs[0], big)
+        m2 = jnp.full_like(qs[0], big)
         sgn = jnp.ones_like(qs[0])
         absq = []
         for q in qs:
@@ -93,24 +96,28 @@ def _check_update_rows(qs, cfg: DecoderConfig):
             m2 = jnp.minimum(m2, jnp.maximum(m1, a))
             m1 = jnp.minimum(m1, a)
             sgn = sgn * jnp.where(q < 0, -1.0, 1.0)
+        dt = qs[0].dtype
         out = []
         for q, a in zip(qs, absq):
             mag = jnp.where(a == m1, m2, m1)
             if cfg.offset:
-                mag = jnp.maximum(mag - cfg.offset, 0.0)
+                mag = jnp.maximum(mag - jnp.asarray(cfg.offset, dt), 0.0)
             if cfg.normalization != 1.0:
-                mag = cfg.normalization * mag
+                mag = jnp.asarray(cfg.normalization, dt) * mag
             # excluding-self sign: total sign product times own sign
-            s_excl = sgn * jnp.where(q < 0, -1.0, 1.0)
+            s_excl = sgn * jnp.where(q < 0, -1.0, 1.0).astype(dt)
             out.append(s_excl * mag)
         return out
-    # sum-product (log domain)
+    # sum-product (log domain) — the phi transform needs f32 precision, so
+    # upcast internally and cast the result back to the message dtype
+    dt = qs[0].dtype
+
     def phi(x):
         x = jnp.clip(x, 1e-7, 30.0)
         ex = jnp.exp(-x)
         return jnp.log1p(ex) - jnp.log1p(-ex)
 
-    ph = [phi(jnp.abs(q)) for q in qs]
+    ph = [phi(jnp.abs(q).astype(jnp.float32)) for q in qs]
     total = functools.reduce(jnp.add, ph)
     sgn = functools.reduce(
         jnp.multiply, [jnp.where(q < 0, -1.0, 1.0) for q in qs]
@@ -118,7 +125,7 @@ def _check_update_rows(qs, cfg: DecoderConfig):
     out = []
     for q, p in zip(qs, ph):
         s_excl = sgn * jnp.where(q < 0, -1.0, 1.0)
-        out.append(s_excl * phi(total - p))
+        out.append((s_excl * phi(total - p)).astype(dt))
     return out
 
 
@@ -228,10 +235,11 @@ def decode_qc_pallas(code: QCCode, cfg: DecoderConfig, llr: jax.Array, interpret
 
     n_b, z = code.n_b, code.z
     b = llr.shape[0]
-    bt = choose_batch_tile(code)
+    dtype = jnp.bfloat16 if cfg.msg_dtype == "bfloat16" else jnp.float32
+    bt = choose_batch_tile(code, itemsize=jnp.dtype(dtype).itemsize)
     bt = min(bt, max(8, 1 << (b - 1).bit_length()))  # no bigger than batch (pow2)
     pad = (-b) % bt
-    llr_p = jnp.pad(llr.astype(jnp.float32), ((0, pad), (0, 0)))
+    llr_p = jnp.pad(llr.astype(dtype), ((0, pad), (0, 0)))
     bp = b + pad
     # [B, n] -> [n_b, z, B]: lanes = codewords, sublanes = circulant rows
     chan = llr_p.T.reshape(n_b, z, bp)
@@ -258,9 +266,9 @@ def decode_qc_pallas(code: QCCode, cfg: DecoderConfig, llr: jax.Array, interpret
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((n_b, z, bt), jnp.float32),            # posterior
-            pltpu.VMEM((code.num_blocks, z, bt), jnp.float32),  # R messages
-            pltpu.VMEM((1, bt), jnp.float32),                   # done mask
+            pltpu.VMEM((n_b, z, bt), dtype),                  # posterior
+            pltpu.VMEM((code.num_blocks, z, bt), dtype),      # R messages
+            pltpu.VMEM((1, bt), jnp.float32),                 # done mask
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),  # tiles are independent (megacore)

@@ -58,6 +58,14 @@ def test_rate_match_roundtrip(code, rng):
     assert signs_ok.all()
 
 
+def test_bg2_structure_and_encode(rng):
+    code2 = nr_code(z=16, bg=2)
+    assert code2.n == 52 * 16 and code2.k == 10 * 16
+    u = rng.integers(0, 2, size=(3, code2.k), dtype=np.uint8)
+    c = triangular_encode_numpy(code2, u)
+    assert code2.syndrome(c).sum() == 0
+
+
 def test_nr_end_to_end_decode(code, rng):
     """Full config-4 pipeline: encode -> rate match -> AWGN -> de-rate-match
     -> BP decode recovers the info bits (punctured bits included)."""
