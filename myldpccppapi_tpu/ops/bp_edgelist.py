@@ -145,14 +145,18 @@ def decode_edgelist(idx: EdgeIndex, cfg: DecoderConfig, llr: jax.Array) -> Decod
         return padded[idxs]
 
     layered = cfg.schedule == "layered" and idx.num_layers > 1
-    layer_row_edges = (
-        [
-            jnp.asarray(idx.row_edges[idx.row_layer == l])
-            for l in range(idx.num_layers)
-        ]
-        if layered
-        else None
-    )
+    if layered:
+        # stack per-layer row-edge tables into one uniform [L, Ml, dr]
+        # tensor (pad short layers with all-sentinel rows) so the layer
+        # sweep is a fori_loop, not L inlined copies — keeps compile time
+        # flat in the layer count (DVB-S2: 90 layers)
+        per_layer = [idx.row_edges[idx.row_layer == l] for l in range(idx.num_layers)]
+        ml = max(p.shape[0] for p in per_layer)
+        dr = idx.row_edges.shape[1]
+        stack = np.full((idx.num_layers, ml, dr), e, dtype=np.int32)
+        for l, p in enumerate(per_layer):
+            stack[l, : p.shape[0]] = p
+        re_stack = jnp.asarray(stack)
 
     def syndrome_fail(post):
         # int8 end to end: the [M, dr, B] gather is the biggest transient of
@@ -165,21 +169,26 @@ def decode_edgelist(idx: EdgeIndex, cfg: DecoderConfig, llr: jax.Array) -> Decod
         ) & 1  # [M, B]
         return jnp.any(par == 1, axis=0)  # [B]
 
+    def layer_update(l, rp):
+        """One grouped-TDMP layer: gather ONLY this layer's edges."""
+        r, post = rp
+        flat = re_stack[l].reshape(-1)  # pad id E -> dropped on scatter
+        cols_l = edge_col_pad[flat]  # pad -> n (out of bounds)
+        post_l = post.at[cols_l].get(mode="fill", fill_value=_INF)
+        r_l = r.at[flat].get(mode="fill", fill_value=0.0)
+        qr = (post_l - r_l).reshape(re_stack.shape[1], re_stack.shape[2], b)
+        rn = _check_update(qr, cfg)
+        rn_flat = rn.reshape(-1, b)
+        post = post.at[cols_l].add(rn_flat - r_l, mode="drop")
+        r = r.at[flat].set(rn_flat, mode="drop")
+        return r, post
+
     def body(carry):
         r, post, bits_out, done, iters, t = carry
         if layered:
-            for re_l in layer_row_edges:
-                # gather ONLY this layer's edges (not the full edge set):
-                # [Ml, dr] ids -> columns -> posterior values
-                flat = re_l.reshape(-1)  # contains pad id E -> dropped below
-                cols_l = edge_col_pad[flat]  # pad -> n (out of bounds)
-                post_l = post.at[cols_l].get(mode="fill", fill_value=_INF)
-                r_l = r.at[flat].get(mode="fill", fill_value=0.0)
-                qr = (post_l - r_l).reshape(*re_l.shape, b)  # [Ml, dr, B]
-                rn = _check_update(qr, cfg)
-                rn_flat = rn.reshape(-1, b)
-                post = post.at[cols_l].add(rn_flat - r_l, mode="drop")
-                r = r.at[flat].set(rn_flat, mode="drop")
+            r, post = jax.lax.fori_loop(
+                0, idx.num_layers, layer_update, (r, post)
+            )
         else:
             q_e = post[edge_col] - r
             rn = _check_update(gather_pad(q_e, row_edges, _INF), cfg)
