@@ -224,6 +224,100 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int):
     return kernel
 
 
+def _build_kernel_dyn(code: QCCode, cfg: DecoderConfig, bt: int):
+    """Table-driven fused kernel for large base graphs.
+
+    Instead of unrolling every nonzero block at trace time (compile cost
+    grows with ``num_blocks`` — 316 for NR BG1), the base matrix is stored
+    as padded [m_b, dmax] column/shift tables in SMEM and the layer sweep is
+    a ``fori_loop``; circulant alignment uses Mosaic's dynamic roll.  This
+    is the reference's own trick of regenerating the QC structure from the
+    seed on-device (``decodeCL.c:319-330``), TPU-style.  Layered min-sum
+    only (the configuration the big codes use).
+    """
+    z = code.z
+    m_b, n_b = code.m_b, code.n_b
+    dmax = code.max_row_degree
+    if cfg.schedule != "layered" or cfg.algorithm != "min-sum":
+        raise NotImplementedError("dyn kernel supports layered min-sum")
+
+    def kernel(col_tab, shift_tab, chan_ref, bits_ref, conv_ref, iters_ref,
+               texec_ref, p_scr, r_scr, done_scr):
+        # col_tab/shift_tab: [m_b, dmax] SMEM; pad slots have col = n_b
+        # (flagged), shift = 0.
+        p_scr[:] = chan_ref[:]
+        r_scr[:] = jnp.zeros_like(r_scr)
+        bits_ref[:] = jnp.zeros_like(bits_ref)
+        done_scr[:] = jnp.zeros_like(done_scr)
+        iters_ref[:] = jnp.zeros_like(iters_ref)
+        dt = p_scr.dtype
+        big = jnp.asarray(jnp.finfo(dt).max, dt)
+
+        def layer(i, _):
+            qs = []
+            for d in range(dmax):  # static, ~dmax slots
+                j = jnp.minimum(col_tab[i, d], n_b - 1)
+                s = shift_tab[i, d]
+                q = pltpu.roll(p_scr[j], -s, 0) - r_scr[i, d]
+                # pad slots act as +inf magnitude (min-sum identity)
+                q = jnp.where(col_tab[i, d] < n_b, q, big)
+                qs.append(q)
+            rn = _check_update_rows(qs, cfg)
+            for d in range(dmax):
+                s = shift_tab[i, d]
+                valid = col_tab[i, d] < n_b
+                j = jnp.minimum(col_tab[i, d], n_b - 1)
+                new_p = pltpu.roll(qs[d] + rn[d], s, 0)
+                # predicated writeback: pad slots must not touch block j
+                p_scr[j] = jnp.where(valid, new_p, p_scr[j])
+                r_scr[i, d] = jnp.where(valid, rn[d], r_scr[i, d])
+            return 0
+
+        def syndrome(_i, fail):
+            def layer_syn(i, fail):
+                par = jnp.zeros((z, bt), jnp.int32)
+                for d in range(dmax):
+                    j = jnp.minimum(col_tab[i, d], n_b - 1)
+                    s = shift_tab[i, d]
+                    bit = (pltpu.roll(p_scr[j], -s, 0) <= 0.0).astype(jnp.int32)
+                    par = par + jnp.where(col_tab[i, d] < n_b, bit, 0)
+                f = jnp.max((par & 1).astype(jnp.float32), axis=0, keepdims=True)
+                return jnp.maximum(fail, f)
+
+            return jax.lax.fori_loop(0, m_b, layer_syn, fail)
+
+        def body(carry):
+            t, _ = carry
+            jax.lax.fori_loop(0, m_b, layer, 0)
+            fail = syndrome(0, jnp.zeros((1, bt), jnp.float32))
+            done = done_scr[:]
+            keep = done.reshape(1, 1, bt) > 0.0
+            new_bits = (p_scr[:] <= 0.0).astype(jnp.int8)
+            bits_ref[:] = jnp.where(keep, bits_ref[:], new_bits)
+            iters_ref[:] = jnp.where(done > 0.0, iters_ref[:], t + 1)
+            done = jnp.maximum(done, 1.0 - fail)
+            done_scr[:] = done
+            return t + 1, jnp.sum(done)
+
+        def cond(carry):
+            t, n_done = carry
+            c = t < cfg.max_iters
+            if cfg.early_exit:
+                c = jnp.logical_and(c, n_done < float(bt))
+            return c
+
+        t_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(0.0)))
+        conv_ref[:] = (done_scr[:] > 0.0).astype(jnp.int8)
+        texec_ref[:] = jnp.full_like(texec_ref, t_end)
+
+    return kernel
+
+
+#: static-unroll cutoff: above this many nonzero blocks the table-driven
+#: kernel compiles much faster with identical math
+_DYN_BLOCK_THRESHOLD = 120
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 3))
 def decode_qc_pallas(code: QCCode, cfg: DecoderConfig, llr: jax.Array, interpret: bool = False):
     """Decode [B, n] channel LLRs with the fused kernel.
@@ -236,15 +330,24 @@ def decode_qc_pallas(code: QCCode, cfg: DecoderConfig, llr: jax.Array, interpret
     n_b, z = code.n_b, code.z
     b = llr.shape[0]
     dtype = jnp.bfloat16 if cfg.msg_dtype == "bfloat16" else jnp.float32
-    bt = choose_batch_tile(code, itemsize=jnp.dtype(dtype).itemsize)
+    use_dyn = (
+        code.num_blocks > _DYN_BLOCK_THRESHOLD
+        and cfg.schedule == "layered"
+        and cfg.algorithm == "min-sum"
+    )
+    # the dyn kernel pads messages to [m_b, dmax] slots — account for it
+    msg_blocks = code.m_b * code.max_row_degree if use_dyn else code.num_blocks
+    itemsize = jnp.dtype(dtype).itemsize
+    per_lane = (2 * code.n + msg_blocks * z) * itemsize + code.n
+    bt = _LANES
+    while bt > 8 and per_lane * bt > 24 * 1024 * 1024:
+        bt //= 2
     bt = min(bt, max(8, 1 << (b - 1).bit_length()))  # no bigger than batch (pow2)
     pad = (-b) % bt
     llr_p = jnp.pad(llr.astype(dtype), ((0, pad), (0, 0)))
     bp = b + pad
     # [B, n] -> [n_b, z, B]: lanes = codewords, sublanes = circulant rows
     chan = llr_p.T.reshape(n_b, z, bp)
-
-    kernel = _build_kernel(code, cfg, bt)
     grid = (bp // bt,)
     out_shape = (
         jax.ShapeDtypeStruct((n_b, z, bp), jnp.int8),   # bits
@@ -252,29 +355,58 @@ def decode_qc_pallas(code: QCCode, cfg: DecoderConfig, llr: jax.Array, interpret
         jax.ShapeDtypeStruct((1, bp), jnp.int32),        # iterations (latched)
         jax.ShapeDtypeStruct((1, bp), jnp.int32),        # executed per tile
     )
-    in_specs = [pl.BlockSpec((n_b, z, bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)]
+    chan_spec = pl.BlockSpec((n_b, z, bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
     out_specs = (
         pl.BlockSpec((n_b, z, bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
     )
-    bits, conv, iters, texec = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((n_b, z, bt), dtype),                  # posterior
-            pltpu.VMEM((code.num_blocks, z, bt), dtype),      # R messages
-            pltpu.VMEM((1, bt), jnp.float32),                 # done mask
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),  # tiles are independent (megacore)
-        ),
-        interpret=interpret,
-    )(chan)
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel",),  # tiles are independent (megacore)
+    )
+    if use_dyn:
+        dmax = code.max_row_degree
+        col_tab = np.full((code.m_b, dmax), n_b, dtype=np.int32)  # pad = n_b
+        shift_tab = np.zeros((code.m_b, dmax), dtype=np.int32)
+        br, bc, sh = code.blocks
+        ptr = code.layer_ptr
+        for i in range(code.m_b):
+            for d, e in enumerate(range(int(ptr[i]), int(ptr[i + 1]))):
+                col_tab[i, d] = int(bc[e])
+                shift_tab[i, d] = int(sh[e])
+        kernel = _build_kernel_dyn(code, cfg, bt)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        bits, conv, iters, texec = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[smem, smem, chan_spec],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((n_b, z, bt), dtype),                # posterior
+                pltpu.VMEM((code.m_b, dmax, z, bt), dtype),     # R messages
+                pltpu.VMEM((1, bt), jnp.float32),               # done mask
+            ],
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(jnp.asarray(col_tab), jnp.asarray(shift_tab), chan)
+    else:
+        kernel = _build_kernel(code, cfg, bt)
+        bits, conv, iters, texec = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[chan_spec],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((n_b, z, bt), dtype),                  # posterior
+                pltpu.VMEM((code.num_blocks, z, bt), dtype),      # R messages
+                pltpu.VMEM((1, bt), jnp.float32),                 # done mask
+            ],
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(chan)
 
     bits_bn = bits.reshape(n_b * z, bp).T[:b].astype(jnp.uint8)  # [B, n]
     conv_b = conv[0, :b] > 0

@@ -58,6 +58,32 @@ def test_pallas_normalized_minsum():
     assert (np.asarray(res.bits) == np.asarray(ref.bits)).all()
 
 
+def test_dyn_kernel_matches_jnp_on_nr():
+    """Large base graphs (> _DYN_BLOCK_THRESHOLD blocks) route to the
+    table-driven kernel (SMEM seed tables + dynamic rolls); it must be
+    bit-exact vs the jnp path."""
+    from myldpccppapi_tpu.codes.nr import nr_code, triangular_encode_numpy
+    from myldpccppapi_tpu.ops import pallas_bp
+    from myldpccppapi_tpu.ops.bp import decode_qc
+
+    code = nr_code(z=32, bg=1)
+    assert code.num_blocks > pallas_bp._DYN_BLOCK_THRESHOLD
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, 2, size=(8, code.k), dtype=np.uint8)
+    c = triangular_encode_numpy(code, u)
+    sigma = 10 ** (-6.0 / 20)
+    y = (1.0 - 2.0 * c.astype(np.float32)) + rng.normal(0, sigma, c.shape).astype(
+        np.float32
+    )
+    llr = jnp.asarray(2.0 * y / sigma**2).at[:, : code.punctured_front].set(0.0)
+    cfg = DecoderConfig(schedule="layered", normalization=0.8, max_iters=30)
+    ref = decode_qc(code, cfg, llr)
+    res = pallas_bp.decode_qc_pallas(code, cfg, llr, True)
+    assert (np.asarray(res.bits) == np.asarray(ref.bits)).all()
+    assert (np.asarray(res.iterations) == np.asarray(ref.iterations)).all()
+    assert (np.asarray(res.bits)[:, : code.k] == u).all()
+
+
 def test_choose_batch_tile_scales_down():
     small = wimax(576, "1/2")
     assert choose_batch_tile(small) == 128
