@@ -201,11 +201,14 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int):
                 sweep_flooding()
             fail = _syndrome_fail_tile(lambda j: p_scr[j], layers)  # [1, bt]
             done = done_scr[:]
-            # latch outputs of codewords that were already done
-            keep = done.reshape(1, 1, bt) > 0.0
+            # latch outputs of codewords that were already done; integer
+            # multiply-add masking instead of boolean selects (Mosaic's i1
+            # vector layouts are fragile for broadcast selects)
+            d8 = done.astype(jnp.int8).reshape(1, 1, bt)
             new_bits = (p_scr[:] <= 0.0).astype(jnp.int8)
-            bits_ref[:] = jnp.where(keep, bits_ref[:], new_bits)
-            iters_ref[:] = jnp.where(done > 0.0, iters_ref[:], t + 1)
+            bits_ref[:] = bits_ref[:] * d8 + new_bits * (1 - d8)
+            d32 = done.astype(jnp.int32)
+            iters_ref[:] = iters_ref[:] * d32 + (t + 1) * (1 - d32)
             done = jnp.maximum(done, 1.0 - fail)
             done_scr[:] = done
             return t + 1, jnp.sum(done)
@@ -291,10 +294,12 @@ def _build_kernel_dyn(code: QCCode, cfg: DecoderConfig, bt: int):
             jax.lax.fori_loop(0, m_b, layer, 0)
             fail = syndrome(0, jnp.zeros((1, bt), jnp.float32))
             done = done_scr[:]
-            keep = done.reshape(1, 1, bt) > 0.0
+            # integer multiply-add masking; see _build_kernel.body
+            d8 = done.astype(jnp.int8).reshape(1, 1, bt)
             new_bits = (p_scr[:] <= 0.0).astype(jnp.int8)
-            bits_ref[:] = jnp.where(keep, bits_ref[:], new_bits)
-            iters_ref[:] = jnp.where(done > 0.0, iters_ref[:], t + 1)
+            bits_ref[:] = bits_ref[:] * d8 + new_bits * (1 - d8)
+            d32 = done.astype(jnp.int32)
+            iters_ref[:] = iters_ref[:] * d32 + (t + 1) * (1 - d32)
             done = jnp.maximum(done, 1.0 - fail)
             done_scr[:] = done
             return t + 1, jnp.sum(done)
