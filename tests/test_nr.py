@@ -58,6 +58,20 @@ def test_rate_match_roundtrip(code, rng):
     assert signs_ok.all()
 
 
+def test_rate_match_shortened(code, rng):
+    """e smaller than the circular buffer: tail bits never sent get LLR 0."""
+    u = rng.integers(0, 2, size=(2, code.k), dtype=np.uint8)
+    c = triangular_encode_numpy(code, u)
+    e = (code.n - code.punctured_front) - 200
+    tx = np.asarray(rate_match_bits(code, jnp.asarray(c), e))
+    llr_e = 1.0 - 2.0 * tx.astype(np.float32)
+    llr = np.asarray(rate_match_llr(code, jnp.asarray(llr_e), e))
+    assert (llr[:, : code.punctured_front] == 0).all()
+    assert (llr[:, code.punctured_front + e :] == 0).all()  # untransmitted tail
+    sent = llr[:, code.punctured_front : code.punctured_front + e]
+    assert (np.abs(sent) == 1).all()
+
+
 def test_bg2_structure_and_encode(rng):
     code2 = nr_code(z=16, bg=2)
     assert code2.n == 52 * 16 and code2.k == 10 * 16
