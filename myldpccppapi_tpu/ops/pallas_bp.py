@@ -203,10 +203,13 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int):
             done = done_scr[:]
             # latch outputs of codewords that were already done; integer
             # multiply-add masking instead of boolean selects (Mosaic's i1
-            # vector layouts are fragile for broadcast selects)
-            d8 = done.astype(jnp.int8).reshape(1, 1, bt)
-            new_bits = (p_scr[:] <= 0.0).astype(jnp.int8)
-            bits_ref[:] = bits_ref[:] * d8 + new_bits * (1 - d8)
+            # vector layouts are fragile for broadcast selects), computed in
+            # i32 (Mosaic has no i8 vector arithmetic)
+            d32b = done.astype(jnp.int32).reshape(1, 1, bt)
+            new_bits = (p_scr[:] <= 0.0).astype(jnp.int32)
+            bits_ref[:] = (
+                bits_ref[:].astype(jnp.int32) * d32b + new_bits * (1 - d32b)
+            ).astype(jnp.int8)
             d32 = done.astype(jnp.int32)
             iters_ref[:] = iters_ref[:] * d32 + (t + 1) * (1 - d32)
             done = jnp.maximum(done, 1.0 - fail)
@@ -294,10 +297,12 @@ def _build_kernel_dyn(code: QCCode, cfg: DecoderConfig, bt: int):
             jax.lax.fori_loop(0, m_b, layer, 0)
             fail = syndrome(0, jnp.zeros((1, bt), jnp.float32))
             done = done_scr[:]
-            # integer multiply-add masking; see _build_kernel.body
-            d8 = done.astype(jnp.int8).reshape(1, 1, bt)
-            new_bits = (p_scr[:] <= 0.0).astype(jnp.int8)
-            bits_ref[:] = bits_ref[:] * d8 + new_bits * (1 - d8)
+            # i32 multiply-add masking; see _build_kernel.body
+            d32b = done.astype(jnp.int32).reshape(1, 1, bt)
+            new_bits = (p_scr[:] <= 0.0).astype(jnp.int32)
+            bits_ref[:] = (
+                bits_ref[:].astype(jnp.int32) * d32b + new_bits * (1 - d32b)
+            ).astype(jnp.int8)
             d32 = done.astype(jnp.int32)
             iters_ref[:] = iters_ref[:] * d32 + (t + 1) * (1 - d32)
             done = jnp.maximum(done, 1.0 - fail)

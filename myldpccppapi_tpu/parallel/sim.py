@@ -72,13 +72,12 @@ def matmul_encode_fn(code, encoder=None) -> Callable[[jax.Array], jax.Array]:
 
 
 def make_decode_fn(code, cfg: DecoderConfig):
-    """The implementation-dispatched decode callable (traceable)."""
-    from ..codes.qc import QCCode
+    """The implementation-dispatched decode callable (traceable).
 
-    if isinstance(code, QCCode) and cfg.implementation in ("auto", "jnp"):
-        from ..ops.bp import decode_qc
-
-        return lambda llr: decode_qc(code, cfg, llr)
+    Uses the Decoder facade so campaigns pick up the same dispatch as
+    everything else: fused Pallas kernels (+ triage) on TPU, jnp on CPU,
+    edge-list for non-QC codes.
+    """
     from ..decoder import Decoder
 
     return Decoder(code, cfg)
@@ -102,9 +101,7 @@ def sim_step(
     if encode_fn is None:
         encode_fn = matmul_encode_fn(code)
     if decode_fn is None:
-        from ..ops.bp import decode_qc
-
-        decode_fn = lambda llr: decode_qc(code, cfg, llr)
+        decode_fn = make_decode_fn(code, cfg)
     info_pos = jnp.asarray(code.info_positions)
     kbits = len(info_pos)
     k_u, k_n = jax.random.split(key)
