@@ -80,7 +80,7 @@ def main() -> None:
             max_iters=40,
             # two-phase straggler triage (bit-identical, see ops/triage.py):
             # without it every 128-lane tile runs to the slowest lane's cap
-            triage_iters=6,
+            triage_iters=5,
         ),
     )
     llr_dev = jax.device_put(jnp.asarray(llr))

@@ -84,46 +84,48 @@ def _check_update_rows(qs, cfg: DecoderConfig):
     Sum-product: self-inverse phi transform in the log domain.
     Returns the list of new check-to-variable messages.
     """
-    big = jnp.asarray(jnp.finfo(qs[0].dtype).max, qs[0].dtype)
+    dt = qs[0].dtype
     if cfg.algorithm == "min-sum":
-        m1 = jnp.full_like(qs[0], big)
-        m2 = jnp.full_like(qs[0], big)
-        sgn = jnp.ones_like(qs[0])
+        # compute in f32 even for bf16 storage: Mosaic's i1 layouts from
+        # sub-f32 comparisons are fragile, and the VPU is f32-native — the
+        # bf16 win is VMEM capacity/bandwidth, not ALU width
+        qs32 = [q.astype(jnp.float32) for q in qs]
+        m1 = jnp.full_like(qs32[0], _INF)
+        m2 = jnp.full_like(qs32[0], _INF)
+        sgn = jnp.ones_like(qs32[0])
         absq = []
-        for q in qs:
+        for q in qs32:
             a = jnp.abs(q)
             absq.append(a)
             m2 = jnp.minimum(m2, jnp.maximum(m1, a))
             m1 = jnp.minimum(m1, a)
             sgn = sgn * jnp.where(q < 0, -1.0, 1.0)
-        dt = qs[0].dtype
         out = []
-        for q, a in zip(qs, absq):
+        for q, a in zip(qs32, absq):
             mag = jnp.where(a == m1, m2, m1)
             if cfg.offset:
-                mag = jnp.maximum(mag - jnp.asarray(cfg.offset, dt), 0.0)
+                mag = jnp.maximum(mag - cfg.offset, 0.0)
             if cfg.normalization != 1.0:
-                mag = jnp.asarray(cfg.normalization, dt) * mag
+                mag = cfg.normalization * mag
             # excluding-self sign: total sign product times own sign
-            s_excl = sgn * jnp.where(q < 0, -1.0, 1.0).astype(dt)
-            out.append(s_excl * mag)
+            s_excl = sgn * jnp.where(q < 0, -1.0, 1.0)
+            out.append((s_excl * mag).astype(dt))
         return out
-    # sum-product (log domain) — the phi transform needs f32 precision, so
-    # upcast internally and cast the result back to the message dtype
-    dt = qs[0].dtype
-
+    # sum-product (log domain) — phi needs f32 precision and comparisons
+    # stay in f32 for Mosaic layout robustness; results cast back to dt
     def phi(x):
         x = jnp.clip(x, 1e-7, 30.0)
         ex = jnp.exp(-x)
         return jnp.log1p(ex) - jnp.log1p(-ex)
 
-    ph = [phi(jnp.abs(q).astype(jnp.float32)) for q in qs]
+    qs32 = [q.astype(jnp.float32) for q in qs]
+    ph = [phi(jnp.abs(q)) for q in qs32]
     total = functools.reduce(jnp.add, ph)
     sgn = functools.reduce(
-        jnp.multiply, [jnp.where(q < 0, -1.0, 1.0) for q in qs]
+        jnp.multiply, [jnp.where(q < 0, -1.0, 1.0) for q in qs32]
     )
     out = []
-    for q, p in zip(qs, ph):
+    for q, p in zip(qs32, ph):
         s_excl = sgn * jnp.where(q < 0, -1.0, 1.0)
         out.append((s_excl * phi(total - p)).astype(dt))
     return out
@@ -135,7 +137,8 @@ def _syndrome_fail_tile(p_read, layers):
     for entries in layers:
         par = None
         for (_, j, s) in entries:
-            bit = (_row_align(p_read(j), s) <= 0.0).astype(jnp.int32)
+            p = _row_align(p_read(j), s).astype(jnp.float32)  # f32 compares
+            bit = (p <= 0.0).astype(jnp.int32)
             par = bit if par is None else par + bit
         f = jnp.max((par & 1).astype(jnp.float32), axis=0, keepdims=True)
         fail = f if fail is None else jnp.maximum(fail, f)
@@ -206,7 +209,7 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int):
             # vector layouts are fragile for broadcast selects), computed in
             # i32 (Mosaic has no i8 vector arithmetic)
             d32b = done.astype(jnp.int32).reshape(1, 1, bt)
-            new_bits = (p_scr[:] <= 0.0).astype(jnp.int32)
+            new_bits = (p_scr[:].astype(jnp.float32) <= 0.0).astype(jnp.int32)
             bits_ref[:] = (
                 bits_ref[:].astype(jnp.int32) * d32b + new_bits * (1 - d32b)
             ).astype(jnp.int8)
@@ -299,7 +302,7 @@ def _build_kernel_dyn(code: QCCode, cfg: DecoderConfig, bt: int):
             done = done_scr[:]
             # i32 multiply-add masking; see _build_kernel.body
             d32b = done.astype(jnp.int32).reshape(1, 1, bt)
-            new_bits = (p_scr[:] <= 0.0).astype(jnp.int32)
+            new_bits = (p_scr[:].astype(jnp.float32) <= 0.0).astype(jnp.int32)
             bits_ref[:] = (
                 bits_ref[:].astype(jnp.int32) * d32b + new_bits * (1 - d32b)
             ).astype(jnp.int8)
