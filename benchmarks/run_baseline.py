@@ -33,16 +33,26 @@ def _emit(rec):
         f.write(line + "\n")
 
 
-def _throughput(decode, llr_dev, k_info, batch, repeats=5):
+def _throughput(decode, llr_devs, k_info, batch):
+    """Median decode throughput over DISTINCT input batches.
+
+    Repeating one identical device buffer is not a valid measurement here:
+    the TPU-tunnel execution path caches results for repeated identical
+    requests, so every timed call must see fresh data.
+    """
     import jax
 
-    res = decode(llr_dev)  # compile
+    if not isinstance(llr_devs, (list, tuple)):
+        llr_devs = [llr_devs]
+    res = decode(llr_devs[0])  # compile + warm
     jax.block_until_ready(res.bits)
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        res = decode(llr_dev)
-    jax.block_until_ready(res.bits)
-    dt = (time.perf_counter() - t0) / repeats
+    times = []
+    for llr in llr_devs:
+        t0 = time.perf_counter()
+        res = decode(llr)
+        jax.block_until_ready(res.bits)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
     return batch * k_info / dt / 1e6, res, dt
 
 
@@ -60,9 +70,12 @@ def config1():
     rng = np.random.default_rng(0)
     u = rng.integers(0, 2, size=(64, enc.k), dtype=np.uint8)
     cw = np.asarray(enc(jnp.asarray(u)))
-    llr, _ = transmit(jax.random.PRNGKey(0), jnp.asarray(cw), snr_db=2.0)
+    llrs = [
+        jax.device_put(transmit(jax.random.PRNGKey(i), jnp.asarray(cw), snr_db=2.0)[0])
+        for i in range(5)
+    ]
     dec = Decoder(code, DecoderConfig(algorithm="sum-product", schedule="flooding"))
-    mbits, res, dt = _throughput(dec, jax.device_put(llr), code.k_info, 64)
+    mbits, res, dt = _throughput(dec, llrs, code.k_info, 64)
     conv = np.asarray(res.converged)
     bits = np.asarray(res.bits)
     # 2 dB ~= Eb/N0 2 dB on this rate-1/2 code: deep in the waterfall, so
@@ -95,12 +108,16 @@ def config2():
     batch = 4096
     u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
     cw = np.asarray(enc(jnp.asarray(u)))
-    llr, _ = transmit(jax.random.PRNGKey(0), jnp.asarray(cw), snr_db=6.5)
+    llrs = [
+        jax.device_put(transmit(jax.random.PRNGKey(i), jnp.asarray(cw), snr_db=6.5)[0])
+        for i in range(5)
+    ]
     dec = Decoder(
         code,
-        DecoderConfig(schedule="layered", normalization=0.75, early_exit=True),
+        DecoderConfig(schedule="layered", normalization=0.75, early_exit=True,
+                      triage_iters=4),
     )
-    mbits, res, dt = _throughput(dec, jax.device_put(llr), code.k, batch)
+    mbits, res, dt = _throughput(dec, llrs, code.k, batch)
     conv = np.asarray(res.converged)
     ok = (np.asarray(res.bits)[conv][:, : code.k] == u[conv]).all()
     _emit({
@@ -118,21 +135,27 @@ def config3():
     import jax.numpy as jnp
 
     from myldpccppapi_tpu import Decoder, DecoderConfig
-    from myldpccppapi_tpu.codes import dvbs2
+    from myldpccppapi_tpu.codes import dvbs2_qc
+    from myldpccppapi_tpu.codes.dvbs2 import qc_ira_encode_numpy
 
-    code = dvbs2(64800, "1/2")
+    code = dvbs2_qc(64800, "1/2")  # z=360 QC form: the fast decode path
     rng = np.random.default_rng(0)
     batch = 1024
     u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
-    cw = code.encode_numpy(u)
+    cw = qc_ira_encode_numpy(code, u)
     snr_db = 1.2
     sigma = 10 ** (-snr_db / 20)
-    y = (1.0 - 2.0 * cw.astype(np.float32)) + rng.normal(0, sigma, cw.shape).astype(np.float32)
-    llr = 2.0 * y / sigma**2
+    sym = 1.0 - 2.0 * cw.astype(np.float32)
+    llrs = [
+        jax.device_put(jnp.asarray(
+            2.0 * (sym + rng.normal(0, sigma, sym.shape).astype(np.float32)) / sigma**2
+        ))
+        for _ in range(3)
+    ]
     dec = Decoder(
         code, DecoderConfig(schedule="layered", normalization=0.8, max_iters=50)
     )
-    mbits, res, dt = _throughput(dec, jax.device_put(jnp.asarray(llr)), code.k, batch, repeats=2)
+    mbits, res, dt = _throughput(dec, llrs, code.k, batch)
     conv = np.asarray(res.converged)
     ok = (np.asarray(res.bits)[conv][:, : code.k] == u[conv]).all()
     _emit({
@@ -169,9 +192,13 @@ def config4():
     rows = []
     for snr_db in sweep:
         sigma = 10 ** (-snr_db / 20)
-        y = (1.0 - 2.0 * tx) + rng.normal(0, sigma, tx.shape).astype(np.float32)
-        llr = rate_match_llr(code, jnp.asarray(2.0 * y / sigma**2), e)
-        mbits, res, dt = _throughput(dec, jax.device_put(llr), code.k, batch, repeats=2)
+        llrs = [
+            jax.device_put(rate_match_llr(code, jnp.asarray(
+                2.0 * ((1.0 - 2.0 * tx) + rng.normal(0, sigma, tx.shape).astype(np.float32)) / sigma**2
+            ), e))
+            for _ in range(2)
+        ]
+        mbits, res, dt = _throughput(dec, llrs, code.k, batch)
         conv = np.asarray(res.converged)
         rows.append({
             "snr_db": snr_db, "throughput_mbits": round(mbits, 3),

@@ -11,10 +11,11 @@ from .wimax import wimax
 from .wifi import wifi
 from .regular import regular
 from .nr import nr_code
-from .dvbs2 import dvbs2
+from .dvbs2 import dvbs2, dvbs2_qc
 
 __all__ = [
     "dvbs2",
+    "dvbs2_qc",
     "nr_code",
     "QCCode",
     "Encoder",

@@ -148,6 +148,138 @@ _SHORT_K_LDPC = {
 }
 
 
+_QC_P0_SHIFT = 1  # shift of the p0 column's paired entries (any value works:
+                  # x^s + 1 + x^s = 1 over GF(2), so p0 = sum of all row sums)
+
+
+def dvbs2_qc(n: int = 64800, rate: str = "1/2"):
+    """DVB-S2-style code as a z=360 quasi-cyclic ``QCCode`` (the fast path).
+
+    The standard's q-periodic address spreading IS block-circulant: row
+    ``a + j*q`` of info group g, for j = 0..359, is layer ``a mod q`` at
+    layer-position ``(j + a//q) mod 360`` — i.e. block (a % q, g) is a
+    shifted identity with shift ``-(a//q) mod 360`` (the classic DVB-S2
+    hardware-decoder transformation).  The bit-level parity accumulator is
+    replaced by the 802.16e-style QC parity (``MyLdpc.h:40-102`` column
+    h_b0): one column with entries at rows {0, mid, last} whose shifted
+    pair cancels over GF(2), then a shift-0 dual-diagonal staircase.  Every
+    parity column has degree >= 2 (the pure block staircase would leave 360
+    degree-1 bits and an error floor) and encoding is one O(edges) pass
+    (:func:`qc_ira_encode_numpy`).  Synthetic address tables as in
+    :func:`dvbs2` (one address per (group, residue) pair so every base
+    block is a single circulant).
+    """
+    from .qc import QCCode
+
+    num, den = map(int, rate.split("/"))
+    k = _SHORT_K_LDPC[rate] if n == 16200 else n * num // den
+    m = n - k
+    if k % _GROUP or m % _GROUP:
+        raise ValueError(f"n={n} rate={rate}: k and m must be multiples of 360")
+    q = m // _GROUP
+    kb = k // _GROUP
+    n_heavy = kb // 3
+    rng = np.random.default_rng(302307 + n + 100 * num + den)
+    base = np.full((q, kb + q), -1, dtype=np.int32)
+    for g in range(kb):
+        deg = 8 if g < n_heavy else 3
+        residues = rng.choice(q, size=deg, replace=False)
+        for l in residues:
+            a = int(l) + q * int(rng.integers(0, _GROUP))
+            base[l, g] = (-(a // q)) % _GROUP
+    # 802.16e-style parity: p0 column + staircase
+    base[0, kb] = _QC_P0_SHIFT
+    base[q // 2, kb] = 0
+    base[q - 1, kb] = _QC_P0_SHIFT
+    for j in range(q - 1):  # staircase col kb+1+j in rows j, j+1
+        base[j, kb + 1 + j] = 0
+        base[j + 1, kb + 1 + j] = 0
+    return QCCode(name=f"dvbs2qc_n{n}_r{num}{den}", base=base, z=_GROUP)
+
+
+def _qc_row_sums(code, u, xp):
+    """lam_l [B, z] for each base row l from the info part only."""
+    z = code.z
+    kb = code.k // z
+    ub = u.reshape(*u.shape[:-1], kb, z)
+    lams = []
+    for l in range(code.m_b):
+        acc = xp.zeros(u.shape[:-1] + (z,), dtype=xp.int32)
+        for g in range(kb):
+            s = int(code.base[l, g])
+            if s >= 0:
+                acc = acc ^ xp.roll(ub[..., g, :], -s, axis=-1)
+        lams.append(acc)
+    return lams
+
+
+def qc_ira_encode_numpy(code, u: np.ndarray) -> np.ndarray:
+    """O(edges) encode for the dvbs2_qc parity structure.
+
+    p0 = XOR of all block-row info sums (the paired shifted entries of the
+    p0 column cancel, the middle one survives); the staircase columns then
+    follow by forward substitution.  The last block row closes
+    automatically (verified by construction: the telescoped sum equals
+    p0 + p0 = 0).
+    """
+    u = np.asarray(u)
+    z = code.z
+    q = code.m_b
+    kb = code.k // z
+    lams = _qc_row_sums(code, u, np)
+    p0 = lams[0].copy()
+    for l in range(1, q):
+        p0 = p0 ^ lams[l]
+    blocks = [u.reshape(*u.shape[:-1], kb, z)[..., g, :] for g in range(kb)]
+    blocks.append(p0 & 1)
+    s_prev = np.zeros_like(p0)
+    for i in range(q - 1):
+        t = lams[i].copy()
+        sp0 = int(code.base[i, kb])
+        if sp0 >= 0:
+            t = t ^ np.roll(p0, -sp0, axis=-1)
+        s_prev = s_prev ^ t
+        blocks.append(s_prev & 1)
+    return np.concatenate(blocks, axis=-1).astype(u.dtype)
+
+
+def qc_ira_encode_fn(code):
+    """jnp version of :func:`qc_ira_encode_numpy` (jit/shard-safe)."""
+    import jax.numpy as jnp
+
+    z = code.z
+    q = code.m_b
+    kb = code.k // z
+    entries = [
+        [(g, int(code.base[l, g])) for g in range(kb) if code.base[l, g] >= 0]
+        for l in range(q)
+    ]
+    p0_shifts = [int(code.base[l, kb]) for l in range(q)]
+
+    def encode(u):
+        ub = u.reshape(*u.shape[:-1], kb, z).astype(jnp.int32)
+        lams = []
+        for l in range(q):
+            acc = jnp.zeros(u.shape[:-1] + (z,), jnp.int32)
+            for (g, s) in entries[l]:
+                acc = acc ^ jnp.roll(ub[..., g, :], -s, axis=-1)
+            lams.append(acc)
+        p0 = lams[0]
+        for l in range(1, q):
+            p0 = p0 ^ lams[l]
+        blocks = [ub[..., g, :] for g in range(kb)] + [p0 & 1]
+        s_prev = jnp.zeros_like(p0)
+        for i in range(q - 1):
+            t = lams[i]
+            if p0_shifts[i] >= 0:
+                t = t ^ jnp.roll(p0, -p0_shifts[i], axis=-1)
+            s_prev = s_prev ^ t
+            blocks.append(s_prev & 1)
+        return jnp.stack(blocks, axis=-2).reshape(*u.shape[:-1], code.n)
+
+    return encode
+
+
 def dvbs2(n: int = 64800, rate: str = "1/2") -> DVBS2Code:
     """Construct a DVB-S2-style code (synthetic address tables, see module
     docstring).  Supported n: 64800 (normal), 16200 (short)."""

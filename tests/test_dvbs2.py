@@ -42,6 +42,43 @@ def test_jnp_encode_matches_numpy(code, rng):
     assert (c_np == c_j).all()
 
 
+def test_qc_form_valid_and_decodable(rng):
+    """The z=360 QC form (block-circulant regrouping of the q-periodic
+    structure): triangular encode produces valid codewords and the QC roll
+    decoder recovers them."""
+    from myldpccppapi_tpu.codes.dvbs2 import (
+        dvbs2_qc,
+        qc_ira_encode_fn,
+        qc_ira_encode_numpy,
+    )
+    from myldpccppapi_tpu.ops.bp import decode_qc
+
+    import jax
+
+    code = dvbs2_qc(16200, "1/2")
+    assert code.z == 360 and code.k == 7200
+    # every parity column must have degree >= 2 (no error floor)
+    deg = np.count_nonzero(code.base >= 0, axis=0)
+    assert (deg[code.k // 360 :] >= 2).all()
+    u = rng.integers(0, 2, size=(4, code.k), dtype=np.uint8)
+    c = qc_ira_encode_numpy(code, u)
+    assert code.syndrome(c).sum() == 0
+    c_j = np.asarray(jax.jit(qc_ira_encode_fn(code))(jnp.asarray(u)))
+    assert (c == c_j).all()
+    sigma = 10 ** (-2.5 / 20)
+    y = (1.0 - 2.0 * c.astype(np.float32)) + rng.normal(0, sigma, c.shape).astype(
+        np.float32
+    )
+    llr = jnp.asarray(2.0 * y / sigma**2)
+    res = decode_qc(
+        code,
+        DecoderConfig(schedule="layered", normalization=0.8, max_iters=50),
+        llr,
+    )
+    assert np.asarray(res.converged).all()
+    assert (np.asarray(res.bits)[:, : code.k] == u).all()
+
+
 @pytest.mark.parametrize("schedule", ["flooding", "layered"])
 def test_decode_end_to_end(code, rng, schedule):
     u = rng.integers(0, 2, size=(4, code.k), dtype=np.uint8)
