@@ -28,8 +28,11 @@ FALLBACK_CPU_MBITS = 0.645
 
 SNR_DB = 5.0
 BATCH = 8192
+GROUP = 16        # batches decoded per dispatch: the dev tunnel has a fixed
+                  # ~30 ms per-execute RPC floor (measured size-independent),
+                  # so one dispatch decodes GROUP batches to amortize it
 BASELINE_BATCH = 256
-REPEATS = 8
+REPEATS = 3
 SEED = 0
 
 
@@ -88,11 +91,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
     from myldpccppapi_tpu import Decoder, DecoderConfig, wimax
-    from myldpccppapi_tpu.parallel.sim import sim_step
 
     code = wimax(576, "3/4B")
-    u, llr = _make_llr(code, 256, SEED)
-    base = cpu_baseline_mbits(code, llr)
+    _, llr_base = _make_llr(code, 256, SEED)
+    base = cpu_baseline_mbits(code, llr_base)
 
     cfg = DecoderConfig(
         algorithm="min-sum",
@@ -105,39 +107,54 @@ def main() -> None:
     )
     dec = Decoder(code, cfg)
 
-    # Measure the full ON-DEVICE pipeline (random info bits -> MXU encode ->
-    # AWGN -> decode -> error counters), returning only scalar statistics:
-    # this is the production dataflow, and it keeps host<->device transfer
-    # out of the measurement (the dev tunnel moves ~24 MB/call otherwise,
-    # which swamps the decode itself).  Every timed call uses a fresh PRNG
-    # key, so no execution is a repeat.
-    step = jax.jit(
-        lambda key: sim_step(
-            code, cfg, key, jnp.float32(SNR_DB), BATCH, decode_fn=dec
-        )
-    )
-    stats = step(jax.random.PRNGKey(SEED))
-    jax.block_until_ready(stats.frames)
-    conv_rate = 1.0 - int(stats.unconverged) / BATCH
+    # Decode-and-count with ONLY scalar outputs (decoded bits reduce to
+    # error counters on device), GROUP batches per dispatch (fixed RPC floor
+    # amortization — see GROUP above).  Inputs are uploaded before the timed
+    # region, and every timed call sees fresh noise realizations (the tunnel
+    # caches results of identical requests).
+    u_all, llrs = _make_llr_set(code, BATCH, GROUP * (REPEATS + 1))
+
+    @jax.jit
+    def run(llr_g, u_dev):
+        def one(llr):
+            res = dec(llr)
+            berr = jnp.sum(
+                (res.bits[:, : code.k].astype(jnp.int8) != u_dev).astype(jnp.int32)
+            )
+            return berr, jnp.sum(~res.converged), jnp.sum(res.iterations)
+
+        outs = jax.lax.map(one, llr_g)
+        return tuple(jnp.sum(o) for o in outs)
+
+    u_dev = jax.device_put(jnp.asarray(u_all, jnp.int8))
+    groups = [
+        jax.device_put(jnp.asarray(np.stack(llrs[i * GROUP : (i + 1) * GROUP])))
+        for i in range(REPEATS + 1)
+    ]
+    out = run(groups[0], u_dev)  # compile + warm up (group 0 never re-timed)
+    jax.block_until_ready(out)
+    berr, unconv, iters_sum = (int(x) for x in out)
+    frames = GROUP * BATCH
+    conv_rate = 1.0 - unconv / frames
     assert conv_rate > 0.98, f"bench batch must mostly converge ({conv_rate:.3f})"
     # converged frames must decode correctly: at this SNR undetected errors
     # are essentially impossible, so every bit error comes from unconverged
     # frames (bounded by k per frame)
-    assert int(stats.bit_errors) <= int(stats.unconverged) * code.k
+    assert berr <= unconv * code.k
 
     times = []
-    for i in range(REPEATS):
-        key = jax.random.PRNGKey(SEED + 1 + i)
+    for g in groups[1:]:
         t0 = time.perf_counter()
-        stats = step(key)
-        jax.block_until_ready(stats.frames)
+        out = run(g, u_dev)
+        jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]  # median over distinct batches
+    dt = sorted(times)[len(times) // 2]  # median over distinct groups
+    stats_iters = iters_sum / GROUP
 
-    mbits = BATCH * code.k / dt / 1e6
+    mbits = frames * code.k / dt / 1e6
     print(
         f"[bench] impl={dec.implementation} conv={conv_rate:.4f} "
-        f"iters={int(stats.iterations)/BATCH:.2f} "
+        f"iters={stats_iters/BATCH:.2f} frames/dispatch={GROUP*BATCH} "
         f"cpu_baseline={base:.3f} Mbit/s tpu={mbits:.1f} Mbit/s",
         file=sys.stderr,
     )
