@@ -54,26 +54,34 @@ def _col_align(x: jax.Array, shift: int) -> jax.Array:
     return _row_align(x, z - (shift % z))
 
 
+def _msg_elems(code: QCCode) -> int:
+    """Per-lane message elements, accounting for the dyn kernel's padded
+    [m_b, dmax] slot layout on large base graphs."""
+    if code.num_blocks > _DYN_BLOCK_THRESHOLD:
+        return code.m_b * code.max_row_degree * code.z
+    return code.num_edges
+
+
 def choose_batch_tile(
     code: QCCode, vmem_budget: int = 24 * 1024 * 1024, itemsize: int = 4
 ) -> int:
-    """Largest power-of-two lane tile whose VMEM working set fits the budget.
+    """Lane tile for the fused kernel, or 0 if the code cannot be
+    VMEM-resident.
 
-    Working set per lane: posterior + channel copy (2 * n) + messages
-    (num_edges) elements of ``itemsize`` bytes, plus the output bits.
+    Mosaic requires the trailing (lane) block dimension to be a multiple of
+    128 (or the whole array), so the tile is 128 lanes; a code fits only if
+    its full working set — posterior + channel copy (2n) + messages — fits
+    the VMEM budget at 128 lanes.  Long codes (DVB-S2 n=64800, NR Z=384)
+    exceed it and use the XLA-streamed jnp path instead.
     """
-    per_lane = (2 * code.n + code.num_edges) * itemsize + code.n  # p,chan,r + bits
-    bt = _LANES
-    while bt > 8 and per_lane * bt > vmem_budget:
-        bt //= 2
-    return bt
+    per_lane = (2 * code.n + _msg_elems(code)) * itemsize + code.n
+    return _LANES if per_lane * _LANES <= vmem_budget else 0
 
 
 def supported(code: QCCode | None) -> bool:
     if code is None:
         return True
-    # any QC code fits; very long codes just use a smaller batch tile
-    return choose_batch_tile(code) >= 8
+    return choose_batch_tile(code) >= _LANES
 
 
 def _check_update_rows(qs, cfg: DecoderConfig):
@@ -348,14 +356,15 @@ def decode_qc_pallas(code: QCCode, cfg: DecoderConfig, llr: jax.Array, interpret
         and cfg.schedule == "layered"
         and cfg.algorithm == "min-sum"
     )
-    # the dyn kernel pads messages to [m_b, dmax] slots — account for it
-    msg_blocks = code.m_b * code.max_row_degree if use_dyn else code.num_blocks
     itemsize = jnp.dtype(dtype).itemsize
-    per_lane = (2 * code.n + msg_blocks * z) * itemsize + code.n
-    bt = _LANES
-    while bt > 8 and per_lane * bt > 24 * 1024 * 1024:
-        bt //= 2
-    bt = min(bt, max(8, 1 << (b - 1).bit_length()))  # no bigger than batch (pow2)
+    if choose_batch_tile(code, itemsize=itemsize) < _LANES:
+        raise ValueError(
+            f"{code.name}: working set exceeds VMEM at the 128-lane tile; "
+            "use the jnp path (Decoder dispatches this automatically)"
+        )
+    # lane tile: 128 (Mosaic's trailing-dim granule), or the whole padded
+    # batch when it is smaller (block dim == array dim is allowed)
+    bt = min(_LANES, max(8, 1 << (b - 1).bit_length()))
     pad = (-b) % bt
     llr_p = jnp.pad(llr.astype(dtype), ((0, pad), (0, 0)))
     bp = b + pad
