@@ -20,7 +20,6 @@ bits and iteration count while the rest of the tile continues.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +33,6 @@ from ..utils.config import DecoderConfig
 __all__ = ["supported", "decode_qc_pallas", "choose_batch_tile"]
 
 _LANES = 128
-_VMEM_BUDGET = 96 * 1024 * 1024  # leave headroom below ~128 MiB v5p/v6e VMEM? conservative budget set in choose_batch_tile
 _INF = 1e30
 
 
