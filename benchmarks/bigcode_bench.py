@@ -129,15 +129,44 @@ def config4():
 
     dec = Decoder(code, DecoderConfig(schedule="layered", normalization=0.8,
                                       max_iters=30))
-    rec = _measure(dec, code, u, make_llr, batch, group=2, repeats=2)
+    rec = _measure(dec, code, u, make_llr, batch, group=8, repeats=2)
     _emit({"config": 4, "name": "nr_bg1_z384_rv0_layered_b512", "snr_db": snr_db,
            **rec})
 
 
+def config2g():
+    """802.11n 1944 r5/6 with grouped dispatch (chip-time throughput)."""
+    import jax
+    import jax.numpy as jnp
+
+    from myldpccppapi_tpu import Decoder, DecoderConfig, Encoder, wifi
+    from myldpccppapi_tpu.codes import encode_numpy
+    from myldpccppapi_tpu.ops.channel import transmit
+
+    code = wifi(1944, "5/6")
+    enc = Encoder(code)
+    rng = np.random.default_rng(0)
+    batch = 4096
+    u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
+    cj = jnp.asarray(encode_numpy(enc.mats, u))
+    seed_it = iter(range(10_000))
+
+    def make_llr():
+        return np.asarray(
+            transmit(jax.random.PRNGKey(next(seed_it)), cj, snr_db=6.5)[0],
+            np.float32,
+        )
+
+    dec = Decoder(code, DecoderConfig(schedule="layered", normalization=0.75,
+                                      triage_iters=4))
+    rec = _measure(dec, code, u, make_llr, batch, group=8, repeats=2)
+    _emit({"config": "2g", "name": "wifi1944_r56_nms_b4096_grouped", **rec})
+
+
 def main():
-    wanted = [int(a) for a in sys.argv[1:]] or [3, 4]
+    wanted = sys.argv[1:] or ["3", "4"]
     for c in wanted:
-        {3: config3, 4: config4}[c]()
+        {"3": config3, "4": config4, "2g": config2g}[c]()
 
 
 if __name__ == "__main__":
