@@ -1,0 +1,50 @@
+"""CLI: argument parsing, reference-style roundtrip, waterfall smoke."""
+import json
+
+import numpy as np
+import pytest
+
+from myldpccppapi_tpu.cli import _parse_snr_grid, build_parser, main
+
+
+def test_snr_grid_parsing():
+    assert _parse_snr_grid("1:3:0.5") == [1.0, 1.5, 2.0, 2.5, 3.0]
+    assert _parse_snr_grid("2,4") == [2.0, 4.0]
+    assert _parse_snr_grid("0:4") == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_parser_rejects_bad_algo(capsys):
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["test", "432", "8", "5.0", "BOGUS"])
+
+
+def test_roundtrip_cpu_golden(capsys):
+    """Reference-style self-test through the native golden decoder: clean
+    channel at 7 dB must decode with ErrNum=0."""
+    rc = main(["test", "432", "8", "7.0", "CPU"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "ErrNum=0" in out
+    assert "ThroughPut=" in out
+
+
+def test_roundtrip_tdmp(capsys):
+    rc = main(["test", "432", "8", "7.0", "TDMP"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "ErrNum=0" in out
+
+
+def test_waterfall_smoke(tmp_path, capsys):
+    out_csv = tmp_path / "wf.csv"
+    ck = tmp_path / "ck.json"
+    rc = main([
+        "waterfall", "--family", "wimax", "--n", "576", "--rate", "1/2",
+        "--snr", "5", "--batch", "16", "--target-errors", "1",
+        "--max-frames", "32", "--checkpoint", str(ck), "--out", str(out_csv),
+    ])
+    assert rc == 0
+    assert out_csv.exists() and ck.exists()
+    lines = out_csv.read_text().strip().split("\n")
+    assert len(lines) == 2 and lines[0].startswith("snr_db,")
+    state = json.loads(ck.read_text())
+    assert state["points"][0]["frames"] >= 16
