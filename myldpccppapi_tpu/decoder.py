@@ -137,4 +137,5 @@ class Decoder:
     def lower(self, batch_size: int):
         """Lower/compile for a fixed batch size (for AOT benchmarking)."""
         shape = jax.ShapeDtypeStruct((batch_size, self.code.n), jnp.float32)
-        return self._fn.lower(shape)
+        fn = self._fn if hasattr(self._fn, "lower") else jax.jit(self._fn)
+        return fn.lower(shape)
