@@ -77,11 +77,15 @@ def cmd_test(args) -> int:
     post = coder.test(prior, sigma, seed=args.seed)
 
     t0 = time.perf_counter()
-    decoded = coder.decode(post, len(src), de_type=args.algo)
+    decoded, stats = coder.decode(post, len(src), de_type=args.algo,
+                                  return_stats=True)
     t_dec = time.perf_counter() - t0
 
     err = int(np.sum(np.frombuffer(src, np.uint8) != decoded[: len(src)]))
     print(f"EncodeTime={t_enc:.6f}s DecodeTime={t_dec:.6f}s")
+    # the reference prints the BP iteration count per batch ("Time=<iters>",
+    # MyLdpc.cpp:838)
+    print(f"Time={stats['mean_iters']:.1f}")
     print(f"ErrNum={err}")
     print(f"ThroughPut={len(src) / t_dec:.1f} byte/s")
     return 0 if err == 0 else 1

@@ -138,7 +138,8 @@ class Coder:
         src_length: int,
         de_type: str = "TDMP",
         llr_scale: float | None = None,
-    ) -> np.ndarray:
+        return_stats: bool = False,
+    ):
         """Soft stream [ncw*n] -> decoded source bytes [src_length].
 
         Like the reference, the raw channel value is fed to min-sum as the
@@ -159,19 +160,32 @@ class Coder:
             from . import native
 
             out = native.decode_golden_native(self.code, post, max_iters=self.max_iters)
-            if out is not None:
-                bits = out[0]
-            else:
-                bits = golden.decode_golden(self.code, post, max_iters=self.max_iters)[0]
+            if out is None:
+                out = golden.decode_golden(self.code, post, max_iters=self.max_iters)
+            bits, conv, iters = out
         else:
             if de_type not in self._decoders:
                 self.add_decode_type(de_type)
             dec = self._decoders[de_type]
             batch = self.batch_size or ncw
-            outs = []
+            outs, convs, iterss = [], [], []
             for off in range(0, ncw, batch):
                 chunk = post[off : off + batch]
-                outs.append(np.asarray(dec(jnp.asarray(chunk)).bits))
+                res = dec(jnp.asarray(chunk))
+                outs.append(np.asarray(res.bits))
+                convs.append(np.asarray(res.converged))
+                iterss.append(np.asarray(res.iterations))
             bits = np.concatenate(outs, axis=0)
+            conv = np.concatenate(convs)
+            iters = np.concatenate(iterss)
         packed = pack_bits_np(bits[:, : self.code.k]).reshape(-1)
-        return packed[:src_length]
+        decoded = packed[:src_length]
+        if return_stats:
+            # per-codeword convergence + iteration counts (the reference
+            # prints "Time=<iters>" per batch, MyLdpc.cpp:838,966,1048)
+            return decoded, {
+                "converged": conv,
+                "iterations": iters,
+                "mean_iters": float(np.mean(iters)),
+            }
+        return decoded
