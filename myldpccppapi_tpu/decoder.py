@@ -69,6 +69,14 @@ class Decoder:
                 self._fn = partial(pallas_bp.decode_qc_pallas, code, config)
             else:
                 impl = "jnp"
+        if impl == "pallas_stream":
+            from .ops import pallas_stream
+
+            if not pallas_stream.stream_supported(code, config):
+                raise ValueError(
+                    "pallas_stream supports layered min-sum f32 only"
+                )
+            self._fn = partial(pallas_stream.decode_qc_stream, code, config)
         if impl == "edgelist":
             from .ops.bp_edgelist import build_edge_index, decode_edgelist
 

@@ -26,8 +26,9 @@ class DecoderConfig:
     early_exit:   stop when every codeword in the (local) batch satisfies all
                   parity checks — the on-device replacement for the
                   reference's per-iteration flag readback (MyLdpc.cpp:818-833)
-    implementation: "auto" | "jnp" | "pallas" | "edgelist"
-                  (edgelist = generic gather/scatter path for non-QC codes)
+    implementation: "auto" | "jnp" | "pallas" | "pallas_stream" | "edgelist"
+                  (edgelist = generic gather/scatter path for non-QC codes;
+                  pallas_stream = HBM-streaming fused kernel for long codes)
     """
 
     algorithm: str = "min-sum"
@@ -57,7 +58,9 @@ class DecoderConfig:
             raise ValueError(f"unknown algorithm {self.algorithm!r}")
         if self.schedule not in ("flooding", "layered"):
             raise ValueError(f"unknown schedule {self.schedule!r}")
-        if self.implementation not in ("auto", "jnp", "pallas", "edgelist"):
+        if self.implementation not in (
+            "auto", "jnp", "pallas", "pallas_stream", "edgelist"
+        ):
             raise ValueError(f"unknown implementation {self.implementation!r}")
         if self.msg_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown msg_dtype {self.msg_dtype!r}")

@@ -92,3 +92,28 @@ def test_choose_batch_tile_scales_down():
 
     big = wimax(2304, "1/2")
     assert choose_batch_tile(big, vmem_budget=2 * 1024 * 1024) < 128
+
+
+def test_streaming_kernel_matches_jnp():
+    """HBM-streaming fused kernel (opt-in, for codes beyond VMEM): bit-exact
+    vs the jnp path including iteration counts, on a code with pad-slot
+    column collisions (dvbs2_qc parity staircase)."""
+    from myldpccppapi_tpu.codes.dvbs2 import dvbs2_qc, qc_ira_encode_numpy
+    from myldpccppapi_tpu.ops.bp import decode_qc
+    from myldpccppapi_tpu.ops.pallas_stream import decode_qc_stream
+
+    code = dvbs2_qc(16200, "1/2")
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, 2, size=(4, code.k), dtype=np.uint8)
+    c = qc_ira_encode_numpy(code, u)
+    sigma = 10 ** (-2.5 / 20)
+    y = (1.0 - 2.0 * c.astype(np.float32)) + rng.normal(0, sigma, c.shape).astype(
+        np.float32
+    )
+    llr = jnp.asarray(2.0 * y / sigma**2)
+    cfg = DecoderConfig(schedule="layered", normalization=0.8, max_iters=30)
+    ref = decode_qc(code, cfg, llr)
+    res = decode_qc_stream(code, cfg, llr, True)
+    assert (np.asarray(res.bits) == np.asarray(ref.bits)).all()
+    assert (np.asarray(res.iterations) == np.asarray(ref.iterations)).all()
+    assert (np.asarray(res.converged) == np.asarray(ref.converged)).all()
