@@ -36,6 +36,13 @@ _LANES = 128
 _INF = 1e30
 
 
+def _neg_roll(x, s, z):
+    """pltpu.roll by -s: negative DYNAMIC shifts are silently wrong on
+    hardware (verified: roll(x, -7) != jnp.roll(x, -7) on v5e while +7
+    matches), so roll by the positive complement z - s (s == 0 -> 0)."""
+    return pltpu.roll(x, jnp.where(s == 0, 0, z - s), 0)
+
+
 def _row_align(x: jax.Array, shift: int) -> jax.Array:
     """Column-aligned [z, Bt] tile -> row-aligned (= jnp.roll(x, -shift, 0)):
     after this, sublane r holds the variable (r + shift) % z of the block."""
@@ -273,7 +280,7 @@ def _build_kernel_dyn(code: QCCode, cfg: DecoderConfig, bt: int):
             for d in range(dmax):  # static, ~dmax slots
                 j = jnp.minimum(col_tab[i, d], n_b - 1)
                 s = shift_tab[i, d]
-                q = pltpu.roll(p_scr[j], -s, 0) - r_scr[i, d]
+                q = _neg_roll(p_scr[j], s, z) - r_scr[i, d]
                 # pad slots act as +inf magnitude (min-sum identity)
                 q = jnp.where(col_tab[i, d] < n_b, q, big)
                 qs.append(q)
@@ -294,7 +301,7 @@ def _build_kernel_dyn(code: QCCode, cfg: DecoderConfig, bt: int):
                 for d in range(dmax):
                     j = jnp.minimum(col_tab[i, d], n_b - 1)
                     s = shift_tab[i, d]
-                    bit = (pltpu.roll(p_scr[j], -s, 0) <= 0.0).astype(jnp.int32)
+                    bit = (_neg_roll(p_scr[j], s, z) <= 0.0).astype(jnp.int32)
                     par = par + jnp.where(col_tab[i, d] < n_b, bit, 0)
                 f = jnp.max((par & 1).astype(jnp.float32), axis=0, keepdims=True)
                 return jnp.maximum(fail, f)

@@ -36,6 +36,13 @@ __all__ = ["decode_qc_stream", "stream_supported"]
 _LANES = 128
 
 
+def _neg_roll(x, s, z):
+    """pltpu.roll by -s: negative DYNAMIC shifts are silently wrong on
+    hardware (verified: roll(x, -7) != jnp.roll(x, -7) on v5e while +7
+    matches), so roll by the positive complement z - s (s == 0 -> 0)."""
+    return pltpu.roll(x, jnp.where(s == 0, 0, z - s), 0)
+
+
 def stream_supported(code: QCCode, cfg: DecoderConfig) -> bool:
     return (
         cfg.schedule == "layered"
@@ -145,7 +152,7 @@ def _build_stream_kernel(code: QCCode, cfg: DecoderConfig, bt: int, dmax: int):
             qs = []
             for d in range(dmax):
                 s = shift_tab[i, d]
-                q = pltpu.roll(p_tiles[d], -s, 0) - r_tile[d]
+                q = _neg_roll(p_tiles[d], s, z) - r_tile[d]
                 q = jnp.where(col_tab[i, d] < n_b, q, 1e30)
                 qs.append(q)
             rn = _minsum(qs, cfg)
@@ -171,7 +178,7 @@ def _build_stream_kernel(code: QCCode, cfg: DecoderConfig, bt: int, dmax: int):
                 par = jnp.zeros((z, bt), jnp.int32)
                 for d in range(dmax):
                     s = shift_tab[i, d]
-                    bit = (pltpu.roll(p_tiles[d], -s, 0) <= 0.0).astype(jnp.int32)
+                    bit = (_neg_roll(p_tiles[d], s, z) <= 0.0).astype(jnp.int32)
                     par = par + jnp.where(col_tab[i, d] < n_b, bit, 0)
                 f = jnp.max((par & 1).astype(jnp.float32), axis=0, keepdims=True)
                 return jnp.maximum(fail, f)
