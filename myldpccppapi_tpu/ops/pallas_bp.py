@@ -68,7 +68,7 @@ def _msg_elems(code: QCCode) -> int:
 
 
 def choose_batch_tile(
-    code: QCCode, vmem_budget: int = 24 * 1024 * 1024, itemsize: int = 4
+    code: QCCode, vmem_budget: int = 12 * 1024 * 1024, itemsize: int = 4
 ) -> int:
     """Lane tile for the fused kernel, or 0 if the code cannot be
     VMEM-resident.
@@ -76,8 +76,10 @@ def choose_batch_tile(
     Mosaic requires the trailing (lane) block dimension to be a multiple of
     128 (or the whole array), so the tile is 128 lanes; a code fits only if
     its full working set — posterior + channel copy (2n) + messages — fits
-    the VMEM budget at 128 lanes.  Long codes (DVB-S2 n=64800, NR Z=384)
-    exceed it and use the XLA-streamed jnp path instead.
+    the VMEM budget at 128 lanes.  The budget leaves headroom under v5e's
+    16 MB scoped-VMEM limit (a 16.16 MB request compile-fails).  Long codes
+    (DVB-S2 n=64800, NR Z>=32) exceed it and use the XLA-streamed jnp path
+    or the opt-in streaming kernel instead.
     """
     per_lane = (2 * code.n + _msg_elems(code)) * itemsize + code.n
     return _LANES if per_lane * _LANES <= vmem_budget else 0
@@ -86,6 +88,12 @@ def choose_batch_tile(
 def supported(code: QCCode | None) -> bool:
     if code is None:
         return True
+    # table-driven (dyn) kernels compile pathologically slowly through the
+    # Mosaic pipeline on hardware (many dynamic rolls in deep loops); keep
+    # them out of auto dispatch until the compile cost is fixed — explicit
+    # decode_qc_pallas calls still use them
+    if code.num_blocks > _DYN_BLOCK_THRESHOLD:
+        return False
     return choose_batch_tile(code) >= _LANES
 
 
