@@ -66,7 +66,7 @@ def test_dyn_kernel_matches_jnp_on_nr():
     from myldpccppapi_tpu.ops import pallas_bp
     from myldpccppapi_tpu.ops.bp import decode_qc
 
-    code = nr_code(z=32, bg=1)
+    code = nr_code(z=16, bg=1)  # z small enough to fit the 12 MB VMEM budget
     assert code.num_blocks > pallas_bp._DYN_BLOCK_THRESHOLD
     rng = np.random.default_rng(0)
     u = rng.integers(0, 2, size=(8, code.k), dtype=np.uint8)
