@@ -173,8 +173,16 @@ def cmd_waterfall(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench
+    # bench.py lives at the repo root, outside the package: resolve it
+    # relative to this file so `python -m myldpccppapi_tpu bench` works from
+    # any CWD
+    import importlib.util
+    import pathlib
 
+    path = pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+    spec = importlib.util.spec_from_file_location("bench", path)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
     bench.main()
     return 0
 

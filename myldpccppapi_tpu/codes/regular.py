@@ -34,8 +34,9 @@ def regular(n: int = 648, row_wt: int = 6, col_wt: int = 3) -> QCCode:
     """Regular (col_wt, row_wt) QC-LDPC code of length ``n``.
 
     Rate ~= 1 - col_wt/row_wt (exactly ``k_info / n`` after accounting for
-    the rank deficiency; for (3,6) n=648 the true dimension is 326, i.e.
-    rate 0.5031 — two redundant checks).
+    the rank deficiency; for (3,6) n=648 the true dimension is 328, i.e.
+    rate 0.5062 — four redundant checks, pinned by
+    tests/test_edgelist.py::test_regular_code_roundtrip).
     """
     if n % row_wt:
         raise ValueError(f"n={n} must be a multiple of row weight {row_wt}")

@@ -251,8 +251,14 @@ def decode_layered(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeRe
                 [_row_align(post[j], s) for (_, j, s) in entries]
             ) - r[p0:p1]
             r_new = check_update(qs)
+            # delta-accumulate writeback: post[j] += col_align(r_new - r_old).
+            # Equivalent to col_align(q + r_new) for single-edge blocks but
+            # also correct when one base block holds several circulants or a
+            # layer touches a column twice (DVB-S2 standard tables); every
+            # layered implementation uses this exact expression so the fused
+            # kernels stay bit-identical to this path.
             for idx, (e, j, s) in enumerate(entries):
-                post = post.at[j].set(_col_align(qs[idx] + r_new[idx], s))
+                post = post.at[j].add(_col_align(r_new[idx] - r[e], s))
             r = jax.lax.dynamic_update_slice_in_dim(r, r_new, p0, axis=0)
         bits = post <= 0
         fail = _syndrome_fail(bits, layers)

@@ -196,8 +196,10 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int):
                     _row_align(p_scr[j], s) - r_scr[e] for (e, j, s) in entries
                 ]
                 rn = _check_update_rows(qs, cfg)
-                for (q, r_new, (e, j, s)) in zip(qs, rn, entries):
-                    p_scr[j] = _col_align(q + r_new, s)
+                # delta-accumulate writeback, bit-identical to ops/bp.py's
+                # layered sweep (and multi-edge-per-block safe)
+                for (r_new, (e, j, s)) in zip(rn, entries):
+                    p_scr[j] = p_scr[j] + _col_align(r_new - r_scr[e], s)
                     r_scr[e] = r_new
 
         def sweep_flooding():
@@ -297,9 +299,12 @@ def _build_kernel_dyn(code: QCCode, cfg: DecoderConfig, bt: int):
                 s = shift_tab[i, d]
                 valid = col_tab[i, d] < n_b
                 j = jnp.minimum(col_tab[i, d], n_b - 1)
-                new_p = pltpu.roll(qs[d] + rn[d], s, 0)
-                # predicated writeback: pad slots must not touch block j
-                p_scr[j] = jnp.where(valid, new_p, p_scr[j])
+                # delta-accumulate writeback (see ops/bp.py); pad slots
+                # contribute a zero delta so block j is untouched
+                delta = pltpu.roll(
+                    jnp.where(valid, rn[d] - r_scr[i, d], 0.0), s, 0
+                )
+                p_scr[j] = p_scr[j] + delta
                 r_scr[i, d] = jnp.where(valid, rn[d], r_scr[i, d])
             return 0
 
@@ -379,7 +384,12 @@ def decode_qc_pallas(code: QCCode, cfg: DecoderConfig, llr: jax.Array, interpret
     # batch when it is smaller (block dim == array dim is allowed)
     bt = min(_LANES, max(8, 1 << (b - 1).bit_length()))
     pad = (-b) % bt
-    llr_p = jnp.pad(llr.astype(dtype), ((0, pad), (0, 0)))
+    # pad lanes get a large POSITIVE LLR: they decode to the all-zeros
+    # codeword and satisfy every check on iteration 1, so partial tiles
+    # early-exit exactly like full ones (zero-LLR padding would decode to
+    # all-ones, fail every odd-degree check, and pin the tile at max_iters)
+    llr_p = jnp.pad(llr.astype(dtype), ((0, pad), (0, 0)),
+                    constant_values=1e4)
     bp = b + pad
     # [B, n] -> [n_b, z, B]: lanes = codewords, sublanes = circulant rows
     chan = llr_p.T.reshape(n_b, z, bp)

@@ -160,15 +160,13 @@ def _build_stream_kernel(code: QCCode, cfg: DecoderConfig, bt: int, dmax: int):
             for d in range(dmax):
                 s = shift_tab[i, d]
                 valid = col_tab[i, d] < n_b
-                new_p = pltpu.roll(qs[d] + rn[d], s, 0)
-                p_tiles[d] = jnp.where(
-                    jnp.logical_and(valid, jnp.logical_not(keep)),
-                    new_p, p_tiles[d],
+                live = jnp.logical_and(valid, jnp.logical_not(keep))
+                # delta-accumulate writeback, matching ops/bp.py bit-exactly
+                delta = pltpu.roll(
+                    jnp.where(live, rn[d] - r_tile[d], 0.0), s, 0
                 )
-                r_tile[d] = jnp.where(
-                    jnp.logical_and(valid, jnp.logical_not(keep)),
-                    rn[d], r_tile[d],
-                )
+                p_tiles[d] = p_tiles[d] + delta
+                r_tile[d] = jnp.where(live, rn[d], r_tile[d])
             store_layer(i)
             return 0
 
@@ -241,7 +239,10 @@ def decode_qc_stream(code: QCCode, cfg: DecoderConfig, llr: jax.Array,
     b = llr.shape[0]
     bt = min(_LANES, max(8, 1 << (b - 1).bit_length()))
     pad = (-b) % bt
-    llr_p = jnp.pad(llr.astype(jnp.float32), ((0, pad), (0, 0)))
+    # large-positive pad LLRs: pad lanes converge to all-zeros on iteration
+    # 1 so partial tiles keep the early exit (see pallas_bp.decode_qc_pallas)
+    llr_p = jnp.pad(llr.astype(jnp.float32), ((0, pad), (0, 0)),
+                    constant_values=1e4)
     bp = b + pad
     chan = llr_p.T.reshape(n_b, z, bp)
     col_tab, shift_tab, dmax = _tables(code)
