@@ -280,6 +280,219 @@ def qc_ira_encode_fn(code):
     return encode
 
 
+# ---------------------------------------------------------------------------
+# Standard-structure IRA code in QC form (EN 302 307 Annex B/C layout)
+# ---------------------------------------------------------------------------
+#
+# EN 302 307 defines the LDPC code by per-group parity-accumulator address
+# tables: information bit m of group g (360 bits/group) accumulates into
+# parity addresses (a + (m % 360) * q) mod (n - k); parity bits are then the
+# running XOR (bidiagonal accumulator).  Under the classic row-residue /
+# column-twist permutation (rows and parity bits reordered by residue mod q)
+# this H is exactly quasi-cyclic with z = 360:
+#
+# * info address a of group g  ->  block (a % q, g), shift (-(a // q)) % 360
+#   (two addresses of one group may share a residue class: a MULTI-EDGE
+#   block, two circulants in one base cell);
+# * accumulator row i          ->  parity block-column (i % q) carries the
+#   dual diagonal: blocks (a, kb+a) and (a+1, kb+a), both shift 0;
+# * the accumulator's wrap     ->  block (0, kb+q-1) with shift z-1, MINUS
+#   its first check row (parity bit m-1 has no successor) — a row-masked
+#   partial circulant.
+#
+# The synthetic default tables below keep the standard's exact group/degree
+# structure; the genuine Annex B/C integer tables are pure data for
+# :func:`parse_address_table` (they could not be embedded here because this
+# build environment has no network access to the published standard, and
+# transcribing thousands of table constants from memory would risk silently
+# corrupt codes — the honest failure mode is a documented synthetic table,
+# not a fabricated "standard" one).
+
+#: EN 302 307 Table 5a/5b information-node degree profiles (degree of the
+#: heavy groups, count of heavy groups) per (n, rate); the remaining groups
+#: have degree 3.  Used to make the synthetic tables structurally faithful.
+_DEGREE_PROFILES = {
+    (64800, "1/4"): (12, 15), (64800, "1/3"): (12, 20),
+    (64800, "2/5"): (12, 24), (64800, "1/2"): (8, 36),
+    (64800, "3/5"): (12, 36), (64800, "2/3"): (13, 12),
+    (64800, "3/4"): (12, 15), (64800, "4/5"): (11, 18),
+    (64800, "5/6"): (13, 15), (64800, "8/9"): (4, 20),
+    (64800, "9/10"): (4, 18),
+    (16200, "1/2"): (8, 20), (16200, "1/3"): (12, 12),
+    (16200, "2/3"): (13, 3), (16200, "3/4"): (12, 3),
+    (16200, "4/5"): (3, 0), (16200, "5/6"): (13, 5),
+    (16200, "8/9"): (4, 9),
+}
+
+
+def parse_address_table(text: str) -> Tuple[Tuple[int, ...], ...]:
+    """Parse an EN 302 307 Annex B/C address table: one line per bit group,
+    whitespace-separated parity-accumulator addresses.  Returns the
+    ``addresses`` tuple accepted by :func:`dvbs2_ira_qc` and
+    :func:`dvbs2` — dropping in the standard's table yields the bit-true
+    standard code."""
+    rows = []
+    for line in text.strip().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        rows.append(tuple(int(tok) for tok in line.split()))
+    return tuple(rows)
+
+
+def synthetic_address_table(n: int, rate: str) -> Tuple[Tuple[int, ...], ...]:
+    """Deterministic address table with the standard's group structure and
+    degree profile (NOT the Annex B/C values — see module comment)."""
+    num, den = map(int, rate.split("/"))
+    k = _SHORT_K_LDPC[rate] if n == 16200 else n * num // den
+    m = n - k
+    groups = k // _GROUP
+    deg_heavy, n_heavy = _DEGREE_PROFILES.get((n, rate), (8, groups // 3))
+    rng = np.random.default_rng(302307 + n + 100 * num + den)
+    addrs = []
+    for g in range(groups):
+        deg = deg_heavy if g < n_heavy else 3
+        a = rng.choice(m, size=deg, replace=False)
+        addrs.append(tuple(int(x) for x in a))
+    return tuple(addrs)
+
+
+def dvbs2_ira_qc(n: int = 64800, rate: str = "1/2",
+                 addresses: "Tuple[Tuple[int, ...], ...] | None" = None):
+    """EN 302 307-structured IRA code as a z=360 :class:`QCCode`.
+
+    Exact standard H structure (accumulator parity, multi-edge blocks,
+    masked wrap circulant) in the row-residue-permuted QC domain; pass the
+    published Annex B/C ``addresses`` (via :func:`parse_address_table`) for
+    the bit-true standard code, or omit for the synthetic default table.
+    Use :func:`std_interleave` to map between the standard's transmitted
+    bit order and this internal QC order, and :func:`ira_encode_fn` /
+    :func:`ira_encode_numpy` for O(n) encoding.
+    """
+    from .qc import QCCode
+
+    if addresses is None:
+        addresses = synthetic_address_table(n, rate)
+    num, den = map(int, rate.split("/"))
+    k = _SHORT_K_LDPC[rate] if n == 16200 else n * num // den
+    m = n - k
+    if k != len(addresses) * _GROUP:
+        raise ValueError(
+            f"address table has {len(addresses)} groups, expected {k // _GROUP}"
+        )
+    q = m // _GROUP
+    kb = k // _GROUP
+    z = _GROUP
+    base = np.full((q, kb + q), -1, dtype=np.int32)
+    extra = []
+    for g, addrs in enumerate(addresses):
+        for a in addrs:
+            if not 0 <= a < m:
+                raise ValueError(f"group {g}: address {a} out of [0, {m})")
+            l, s = a % q, (-(a // q)) % z
+            if base[l, g] < 0:
+                base[l, g] = s
+            elif base[l, g] == s:
+                raise ValueError(
+                    f"group {g}: duplicate address residue (l={l}, s={s}); "
+                    "coincident circulants cancel over GF(2)"
+                )
+            else:
+                extra.append((l, g, s))
+    # accumulator dual diagonal (all shift 0) + masked wrap block
+    for a in range(q):
+        base[a, kb + a] = 0
+        if a + 1 < q:
+            base[a + 1, kb + a] = 0
+    wrap = (0, kb + q - 1, z - 1)
+    base[wrap[0], wrap[1]] = wrap[2]
+    return QCCode(
+        name=f"dvbs2ira_n{n}_r{num}{den}",
+        base=base,
+        z=z,
+        extra_blocks=tuple(extra) if extra else None,
+        masked_rows=((wrap, (0,)),),
+    )
+
+
+def std_interleave(n: int, k: int) -> np.ndarray:
+    """``perm[p_std] = p_internal``: where standard codeword position
+    ``p_std`` lives in the internal QC order.
+
+    Information bits keep their order; standard parity bit i (position
+    k+i) lives in internal parity block (i % q) at lane (i // q).  Usage:
+    ``std = internal[..., perm]`` and ``internal = std[..., argsort(perm)]``
+    (same maps apply to LLRs on the receive side).
+    """
+    m = n - k
+    q = m // _GROUP
+    perm = np.empty(n, dtype=np.int64)
+    perm[:k] = np.arange(k)
+    i = np.arange(m)
+    perm[k:] = k + (i % q) * _GROUP + i // q
+    return perm
+
+
+def ira_encode_numpy(code, u: np.ndarray) -> np.ndarray:
+    """O(n) encode for :func:`dvbs2_ira_qc` codes: blockwise info row sums,
+    prefix-XOR accumulator in standard row order, residue-permuted back to
+    the internal QC parity layout.  Output is the INTERNAL-order codeword
+    (H @ c = 0 for the QCCode's H); apply :func:`std_interleave` for the
+    transmitted standard order."""
+    u = np.asarray(u)
+    z = code.z
+    q = code.m_b
+    kb = code.k // z
+    flat = u.reshape(-1, code.k)
+    b = flat.shape[0]
+    # lam_int[l, u_pos] = XOR over info circulants of layer l
+    br, bc, sh = code.blocks
+    lam = np.zeros((b, q, z), dtype=np.int64)
+    ub = flat.reshape(b, kb, z)
+    for e in range(len(br)):
+        l, g, s = int(br[e]), int(bc[e]), int(sh[e])
+        if g >= kb:
+            continue  # accumulator blocks are not info contributions
+        lam[:, l, :] ^= np.roll(ub[:, g, :], -s, axis=-1)
+    # standard row order: i = u_pos * q + l  ->  transpose
+    lam_std = lam.transpose(0, 2, 1).reshape(b, q * z)
+    p_std = np.bitwise_xor.accumulate(lam_std & 1, axis=-1)
+    p_int = p_std.reshape(b, z, q).transpose(0, 2, 1).reshape(b, q * z)
+    out = np.concatenate([flat & 1, p_int], axis=-1).astype(u.dtype)
+    return out.reshape(*u.shape[:-1], code.n)
+
+
+def ira_encode_fn(code):
+    """jnp version of :func:`ira_encode_numpy` (jit/shard-safe)."""
+    z = code.z
+    q = code.m_b
+    kb = code.k // z
+    br, bc, sh = code.blocks
+    entries = [
+        (int(br[e]), int(bc[e]), int(sh[e]))
+        for e in range(len(br)) if int(bc[e]) < kb
+    ]
+    per_layer = [[(g, s) for (l, g, s) in entries if l == lay] for lay in range(q)]
+
+    def encode(u: jax.Array) -> jax.Array:
+        ub = u.reshape(*u.shape[:-1], kb, z).astype(jnp.int32)
+        lams = []
+        for lay in range(q):
+            acc = jnp.zeros(u.shape[:-1] + (z,), jnp.int32)
+            for (g, s) in per_layer[lay]:
+                acc = acc ^ jnp.roll(ub[..., g, :], -s, axis=-1)
+            lams.append(acc)
+        lam = jnp.stack(lams, axis=-2)  # [..., q, z]
+        lam_std = jnp.swapaxes(lam, -1, -2).reshape(*u.shape[:-1], q * z)
+        p_std = jnp.cumsum(lam_std & 1, axis=-1) & 1
+        p_int = jnp.swapaxes(
+            p_std.reshape(*u.shape[:-1], z, q), -1, -2
+        ).reshape(*u.shape[:-1], q * z)
+        return jnp.concatenate([u.astype(jnp.int32) & 1, p_int], axis=-1)
+
+    return encode
+
+
 def dvbs2(n: int = 64800, rate: str = "1/2") -> DVBS2Code:
     """Construct a DVB-S2-style code (synthetic address tables, see module
     docstring).  Supported n: 64800 (normal), 16200 (short)."""

@@ -50,6 +50,18 @@ class QCCode:
     #: codes, where the parity block is provably singular over GF(2)) —
     #: the generic encoder then picks pivot columns as parity positions.
     info_cols: "np.ndarray | None" = None
+    #: Additional circulants beyond ``base``: tuple of (block_row,
+    #: block_col, shift).  A base position may then hold SEVERAL shifted
+    #: identities (multi-edge blocks) — EN 302 307 DVB-S2 tables place two
+    #: addresses of one bit group in the same row-residue class, which the
+    #: reference's single-shift-per-block layout cannot represent.  The
+    #: layered decoders handle this via delta-accumulate writeback.
+    extra_blocks: "Tuple[Tuple[int, int, int], ...] | None" = None
+    #: Partial circulants: ((block_row, block_col, shift), excluded check
+    #: rows) entries.  Row r of that block contributes no edge.  Needed for
+    #: the DVB-S2 accumulator's wrap block, whose first check row has no
+    #: predecessor parity bit (the z x z circulant is one entry short).
+    masked_rows: "Tuple[Tuple[Tuple[int, int, int], Tuple[int, ...]], ...] | None" = None
 
     def __post_init__(self):
         base = np.asarray(self.base, dtype=np.int32)
@@ -58,6 +70,17 @@ class QCCode:
             raise ValueError("base matrix must be 2-D")
         if np.any(base >= self.z):
             raise ValueError("shift exponent >= z; scale the seed first")
+        if self.extra_blocks:
+            for (i, j, s) in self.extra_blocks:
+                if not (0 <= i < base.shape[0] and 0 <= j < base.shape[1]):
+                    raise ValueError(f"extra block ({i},{j}) out of range")
+                if not (0 <= s < self.z):
+                    raise ValueError(f"extra block shift {s} out of [0, z)")
+                if base[i, j] == s:
+                    raise ValueError(
+                        f"extra block ({i},{j},{s}) duplicates the base "
+                        "entry; coincident circulants cancel over GF(2)"
+                    )
 
     # -- sizes ------------------------------------------------------------
     @property
@@ -101,29 +124,64 @@ class QCCode:
     # -- block structure ---------------------------------------------------
     @cached_property
     def blocks(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(block_row, block_col, shift) int32 arrays in row-major order."""
+        """(block_row, block_col, shift) int32 arrays in row-major order.
+
+        Includes :attr:`extra_blocks`; within one (row, col) position the
+        base-matrix circulant comes first, extras follow in declaration
+        order (a stable order all decoders share).
+        """
         rows, cols = np.nonzero(self.base >= 0)
         shifts = self.base[rows, cols]
-        return rows.astype(np.int32), cols.astype(np.int32), shifts.astype(np.int32)
+        if self.extra_blocks:
+            er, ec, es = zip(*self.extra_blocks)
+            rows = np.concatenate([rows, np.asarray(er)])
+            cols = np.concatenate([cols, np.asarray(ec)])
+            shifts = np.concatenate([shifts, np.asarray(es)])
+            order = np.argsort(rows * self.n_b + cols, kind="stable")
+            rows, cols, shifts = rows[order], cols[order], shifts[order]
+        return (rows.astype(np.int32), cols.astype(np.int32),
+                shifts.astype(np.int32))
+
+    @cached_property
+    def block_row_masks(self) -> Tuple["np.ndarray | None", ...]:
+        """Per block (aligned with :attr:`blocks`): bool[z] of LIVE check
+        rows, or None for a full circulant."""
+        br, bc, sh = self.blocks
+        if not self.masked_rows:
+            return tuple(None for _ in range(len(br)))
+        lookup = {}
+        for (key, excluded) in self.masked_rows:
+            mask = np.ones(self.z, dtype=bool)
+            mask[list(excluded)] = False
+            lookup[tuple(key)] = mask
+        out = []
+        for e in range(len(br)):
+            out.append(lookup.get((int(br[e]), int(bc[e]), int(sh[e]))))
+        return tuple(out)
 
     @property
     def num_blocks(self) -> int:
-        return int(np.count_nonzero(self.base >= 0))
+        return len(self.blocks[0])
 
     @property
     def num_edges(self) -> int:
-        return self.num_blocks * self.z
+        """True Tanner-graph edge count (masked rows excluded)."""
+        total = self.num_blocks * self.z
+        if self.masked_rows:
+            total -= sum(len(excl) for (_, excl) in self.masked_rows)
+        return total
 
     @cached_property
     def layer_ptr(self) -> np.ndarray:
         """Prefix offsets into :attr:`blocks` per base row; shape [m_b+1]."""
-        counts = np.count_nonzero(self.base >= 0, axis=1)
+        counts = np.bincount(self.blocks[0], minlength=self.m_b)
         return np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
 
     def layer(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
-        """(block_cols, shifts) of base row ``i`` in ascending column order."""
-        cols = np.nonzero(self.base[i] >= 0)[0]
-        return cols.astype(np.int32), self.base[i, cols].astype(np.int32)
+        """(block_cols, shifts) of base row ``i`` (row-major block order)."""
+        br, bc, sh = self.blocks
+        sel = br == i
+        return bc[sel], sh[sel]
 
     @cached_property
     def col_blocks(self) -> Tuple[Tuple[Tuple[int, int], ...], ...]:
@@ -136,11 +194,13 @@ class QCCode:
 
     @property
     def row_degrees(self) -> np.ndarray:
-        return np.count_nonzero(self.base >= 0, axis=1)
+        """Block degree per base row (circulant count, incl. extras)."""
+        return np.bincount(self.blocks[0], minlength=self.m_b)
 
     @property
     def col_degrees(self) -> np.ndarray:
-        return np.count_nonzero(self.base >= 0, axis=0)
+        """Block degree per base column (circulant count, incl. extras)."""
+        return np.bincount(self.blocks[1], minlength=self.n_b)
 
     @property
     def max_row_degree(self) -> int:
@@ -159,16 +219,21 @@ class QCCode:
         """
         h = np.zeros((self.m, self.n), dtype=np.bool_)
         z = self.z
-        r = np.arange(z)
         br, bc, sh = self.blocks
+        masks = self.block_row_masks
         for e in range(len(br)):
-            h[br[e] * z + r, bc[e] * z + (r + sh[e]) % z] = True
+            r = np.arange(z) if masks[e] is None else np.nonzero(masks[e])[0]
+            # XOR so coincident entries of two circulants cancel over GF(2)
+            h[br[e] * z + r, bc[e] * z + (r + sh[e]) % z] ^= True
         return h
 
     def h_coo(self) -> Tuple[np.ndarray, np.ndarray]:
         """Edge list (rows, cols) in row-major order: by global check row,
         then ascending column — the same edge order as the reference's
         ``hRows``/``hCols`` (``MyLdpc.cpp:188-220``)."""
+        if self.extra_blocks or self.masked_rows:
+            rows, cols = np.nonzero(self.h_dense())
+            return rows.astype(np.int64), cols.astype(np.int64)
         z = self.z
         rows_out = []
         cols_out = []

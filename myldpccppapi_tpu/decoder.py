@@ -34,9 +34,14 @@ def _implementation(cfg: DecoderConfig, code) -> str:
     except RuntimeError:
         platform = "cpu"
     if platform == "tpu":
-        from .ops import pallas_bp
+        from .ops import pallas_bp, pallas_zlane
 
-        return "pallas" if pallas_bp.supported(code) else "jnp"
+        if pallas_bp.supported(code):
+            return "pallas"
+        # long codes (DVB-S2 n=64800, NR Z=384): z-on-lanes fused kernel
+        if pallas_zlane.zlane_supported(code, cfg):
+            return "pallas_zlane"
+        return "jnp"
     return "jnp"
 
 
@@ -69,6 +74,15 @@ class Decoder:
                 self._fn = partial(pallas_bp.decode_qc_pallas, code, config)
             else:
                 impl = "jnp"
+        if impl == "pallas_zlane":
+            from .ops import pallas_zlane
+
+            if not pallas_zlane.zlane_supported(code, config):
+                raise ValueError(
+                    "pallas_zlane needs a layered-schedule QCCode with "
+                    "z >= 64 whose per-tile state fits VMEM"
+                )
+            self._fn = partial(pallas_zlane.decode_qc_zlane, code, config)
         if impl == "pallas_stream":
             from .ops import pallas_stream
 
@@ -92,7 +106,7 @@ class Decoder:
             self._fn = jax.jit(partial(decode_edgelist, idx, config))
         elif impl == "jnp":
             self._fn = jax.jit(partial(decode_qc, code, config))
-        if config.triage_iters > 0 and impl in ("pallas", "jnp"):
+        if config.triage_iters > 0 and impl in ("pallas", "pallas_zlane", "jnp"):
             self._fn = self._make_triage(impl)
         self.implementation = impl
 
@@ -114,6 +128,11 @@ class Decoder:
 
             fast = partial(pallas_bp.decode_qc_pallas, self.code, fast_cfg)
             full = partial(pallas_bp.decode_qc_pallas, self.code, full_cfg)
+        elif impl == "pallas_zlane":
+            from .ops import pallas_zlane
+
+            fast = partial(pallas_zlane.decode_qc_zlane, self.code, fast_cfg)
+            full = partial(pallas_zlane.decode_qc_zlane, self.code, full_cfg)
         else:
             fast = partial(decode_qc, self.code, fast_cfg)
             full = partial(decode_qc, self.code, full_cfg)

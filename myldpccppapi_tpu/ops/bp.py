@@ -116,16 +116,29 @@ def _check_update_sumproduct(qs: jax.Array, alpha: float, beta: float) -> jax.Ar
     return jnp.where(sign_excl == 1, -mag, mag).astype(qs.dtype)
 
 
+_Q_INF = 1e30  # masked-row q magnitude: the min-sum / phi identity
+
+
 def _layers(code: QCCode):
-    """Static per-layer structure: list of (edge_slice, [(e, j, shift), ...])."""
+    """Static per-layer structure: list of (edge_slice, entries) where each
+    entry is (e, j, shift, live_rows) and ``live_rows`` is a bool[z] numpy
+    mask of real check rows (None = full circulant — the common case)."""
     br, bc, sh = code.blocks
+    masks = code.block_row_masks
     ptr = code.layer_ptr
     out = []
     for i in range(code.m_b):
         p0, p1 = int(ptr[i]), int(ptr[i + 1])
-        entries = [(e, int(bc[e]), int(sh[e])) for e in range(p0, p1)]
+        entries = [
+            (e, int(bc[e]), int(sh[e]), masks[e]) for e in range(p0, p1)
+        ]
         out.append(((p0, p1), entries))
     return out
+
+
+def _mask_col(mask) -> jax.Array:
+    """bool[z] live-row mask -> [z, 1] jnp array broadcastable over [z, B]."""
+    return jnp.asarray(mask[:, None])
 
 
 def _syndrome_fail(bits_blocks: jax.Array, layers) -> jax.Array:
@@ -133,8 +146,10 @@ def _syndrome_fail(bits_blocks: jax.Array, layers) -> jax.Array:
     fails = []
     for (_, entries) in layers:
         par = None
-        for (_, j, s) in entries:
+        for (_, j, s, mask) in entries:
             contrib = _row_align(bits_blocks[j], s).astype(jnp.int32)
+            if mask is not None:
+                contrib = jnp.where(_mask_col(mask), contrib, 0)
             par = contrib if par is None else par + contrib
         fails.append(jnp.any((par & 1) == 1, axis=0))  # [B]
     return jnp.any(jnp.stack(fails), axis=0)
@@ -160,12 +175,15 @@ def decode_flooding(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeR
 
     chan = _to_blocks(llr, n_b, z)  # [n_b, z, B]
 
+    def masked_q(x, mask):
+        return x if mask is None else jnp.where(_mask_col(mask), x, _Q_INF)
+
     # initial variable->check messages: channel LLR gathered per edge
     q0 = jnp.stack(
         [
-            _row_align(chan[j], s)
+            masked_q(_row_align(chan[j], s), mask)
             for (_, entries) in layers
-            for (_, j, s) in entries
+            for (_, j, s, mask) in entries
         ]
     )  # [E_b, z, B]
 
@@ -179,11 +197,15 @@ def decode_flooding(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeR
         r = jnp.concatenate(
             [check_update(q[p0:p1]) for ((p0, p1), _) in layers], axis=0
         )
-        # posterior: channel + column-aligned scatter of R
+        # posterior: channel + column-aligned scatter of R (masked rows of a
+        # partial circulant contribute nothing)
         post = chan
         for (_, entries) in layers:
-            for (e, j, s) in entries:
-                post = post.at[j].add(_col_align(r[e], s))
+            for (e, j, s, mask) in entries:
+                contrib = r[e]
+                if mask is not None:
+                    contrib = jnp.where(_mask_col(mask), contrib, 0.0)
+                post = post.at[j].add(_col_align(contrib, s))
         bits = post <= 0  # reference: bit = !(posterior > 0)
         # next Q and row-aligned bits share the same rolled posterior
         q_next = []
@@ -191,10 +213,17 @@ def decode_flooding(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeR
         for (_, entries) in layers:
             par = None
             qs_layer = []
-            for (e, j, s) in entries:
+            for (e, j, s, mask) in entries:
                 post_ra = _row_align(post[j], s)
-                qs_layer.append(post_ra - r[e])
-                contrib = (post_ra <= 0).astype(jnp.int32)
+                if mask is None:
+                    qs_layer.append(post_ra - r[e])
+                    contrib = (post_ra <= 0).astype(jnp.int32)
+                else:
+                    mcol = _mask_col(mask)
+                    qs_layer.append(
+                        jnp.where(mcol, post_ra - r[e], _Q_INF)
+                    )
+                    contrib = jnp.where(mcol, post_ra <= 0, False).astype(jnp.int32)
                 par = contrib if par is None else par + contrib
             q_next.extend(qs_layer)
             fails.append(jnp.any((par & 1) == 1, axis=0))
@@ -247,18 +276,24 @@ def decode_layered(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeRe
     def body(carry):
         r, post, bits_out, done, iters, t = carry
         for ((p0, p1), entries) in layers:
-            qs = jnp.stack(
-                [_row_align(post[j], s) for (_, j, s) in entries]
-            ) - r[p0:p1]
-            r_new = check_update(qs)
+            qs = []
+            for (e, j, s, mask) in entries:
+                q = _row_align(post[j], s) - r[e]
+                if mask is not None:
+                    q = jnp.where(_mask_col(mask), q, _Q_INF)
+                qs.append(q)
+            r_new = check_update(jnp.stack(qs))
             # delta-accumulate writeback: post[j] += col_align(r_new - r_old).
             # Equivalent to col_align(q + r_new) for single-edge blocks but
             # also correct when one base block holds several circulants or a
             # layer touches a column twice (DVB-S2 standard tables); every
             # layered implementation uses this exact expression so the fused
             # kernels stay bit-identical to this path.
-            for idx, (e, j, s) in enumerate(entries):
-                post = post.at[j].add(_col_align(r_new[idx] - r[e], s))
+            for idx, (e, j, s, mask) in enumerate(entries):
+                delta = r_new[idx] - r[e]
+                if mask is not None:
+                    delta = jnp.where(_mask_col(mask), delta, 0.0)
+                post = post.at[j].add(_col_align(delta, s))
             r = jax.lax.dynamic_update_slice_in_dim(r, r_new, p0, axis=0)
         bits = post <= 0
         fail = _syndrome_fail(bits, layers)

@@ -88,6 +88,10 @@ def choose_batch_tile(
 def supported(code: QCCode | None) -> bool:
     if code is None:
         return True
+    # partial (row-masked) circulants are a z-lane-kernel/jnp feature; the
+    # [z, lanes] kernels here never see such codes (they exceed VMEM anyway)
+    if getattr(code, "masked_rows", None):
+        return False
     # table-driven (dyn) kernels compile pathologically slowly through the
     # Mosaic pipeline on hardware (many dynamic rolls in deep loops); keep
     # them out of auto dispatch until the compile cost is fixed — explicit

@@ -1,0 +1,331 @@
+"""Fused z-on-lanes Pallas decoder: long QC codes entirely VMEM-resident.
+
+The [z, lanes] kernel in :mod:`ops.pallas_bp` puts the codeword batch on the
+128-lane axis, so its working set scales as ``128 * (2n + edges)`` floats and
+caps out near n ~ 6000.  This kernel transposes the layout: the **lifting
+dimension z goes on the lane axis** (padded to a multiple of 128) and a small
+batch tile (8 codewords for f32, 16 for bf16 — exactly one sublane tile)
+replaces the lane batch.  The working set then scales with the batch *tile*,
+not 128 lanes, and even DVB-S2 n=64800 fits in VMEM:
+
+    posterior  [n_b, bt, zp]   180*8*384*4  = 2.2 MB
+    messages   [E_b, bt, zp]   ~630*8*384*4 = 7.7 MB
+
+so the whole iterative decode — check updates, delta writebacks, syndrome,
+early exit — runs in ONE kernel with zero HBM traffic per iteration, versus
+the jnp/XLA path that streams ~0.5 GB of message state per iteration from
+HBM.  This supersedes the HBM-streaming kernel (ops/pallas_stream.py) for
+every code whose per-tile state fits VMEM, i.e. all DVB-S2 and 5G NR
+configurations; it is the TPU answer to the reference's fused one-work-group
+decoders (``decodeOnceTDMP``/``decodeOnceMS``, ``decodeCL.c:307-567``) on
+codes far beyond the reference's local-memory reach.
+
+Design notes:
+
+* Every circulant alignment is a **static lane roll** (the base structure is
+  unrolled at trace time), so none of the dynamic-roll hazards of the
+  table-driven kernel apply, and there are no gathers anywhere.
+* When z is not a lane multiple (DVB-S2: z=360, zp=384) a roll-within-z is
+  two static rolls and a lane select; pad lanes hold garbage but are never
+  read into real lanes (both roll branches index lanes < z) and are masked
+  out of the syndrome reduction.
+* **Relative alignment tracking** halves the roll count: the posterior block
+  of column j is stored in the row-alignment of the LAST edge that updated
+  it (a statically known map, stationary across sweeps), so each edge read
+  rolls by the *relative* shift from the previous edge and the delta
+  writeback needs no roll at all.
+* Writebacks are delta-accumulate (``p[j] += r_new - r_old``) in the exact
+  expression and order of ops/bp.py's layered sweep, so results are
+  bit-identical to the jnp path — including multi-edge blocks (several
+  circulants in one base cell) and row-masked partial circulants, which the
+  EN 302 307 DVB-S2 structure requires.
+* Early termination freezes the posterior of converged codewords (the delta
+  is multiplied by a per-sublane live mask), which latches their output bits
+  and keeps their syndrome satisfied — the reference's ``isDones`` semantics
+  (``decodeCL.c:27-28,296-300``) expressed functionally.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..codes.qc import QCCode
+from ..utils.config import DecoderConfig
+from .pallas_bp import _check_update_rows
+
+__all__ = ["zlane_supported", "decode_qc_zlane", "zlane_vmem_bytes"]
+
+_LANE = 128
+_PAD_LLR = 1e4   # batch/lane padding: converges to all-zeros on iteration 1
+_Q_INF = 1e30    # masked-row q magnitude: the min-sum / phi identity
+_VMEM_BUDGET = 13 * 1024 * 1024  # v5e scoped VMEM is 16 MB; leave slack
+
+
+def _pad_z(z: int) -> int:
+    return -(-z // _LANE) * _LANE
+
+
+def _batch_tile(cfg: DecoderConfig) -> int:
+    # one sublane tile: f32 packs 8 sublanes, bf16 16
+    return 16 if cfg.msg_dtype == "bfloat16" else 8
+
+
+def zlane_vmem_bytes(code: QCCode, cfg: DecoderConfig) -> int:
+    """Kernel working-set estimate (posterior + messages + bits out x2)."""
+    zp = _pad_z(code.z)
+    itemsize = 2 if cfg.msg_dtype == "bfloat16" else 4
+    bt = _batch_tile(cfg)
+    state = (code.n_b + code.num_blocks) * bt * zp * itemsize
+    bits_out = 2 * code.n_b * bt * zp  # int8, double-buffered by the pipeline
+    return state + bits_out + 4096
+
+
+def zlane_supported(code, cfg: DecoderConfig) -> bool:
+    if not isinstance(code, QCCode):
+        return False
+    if cfg.schedule != "layered":
+        return False
+    if code.z < 64:  # below half a lane tile the layout wastes the VPU
+        return False
+    return zlane_vmem_bytes(code, cfg) <= _VMEM_BUDGET
+
+
+def _rel_roll(x: jax.Array, d: int, z: int, zp: int) -> jax.Array:
+    """Advance row-alignment by +d within logical width z (static shift):
+    ``y[..., i] = x[..., (i + d) % z]`` for lanes i < z; pad lanes i >= z
+    are don't-care but are never fed by them either (both branches read
+    lanes < z only)."""
+    d = d % z
+    if d == 0:
+        return x
+    if z == zp:
+        return pltpu.roll(x, zp - d, 1)
+    a = pltpu.roll(x, zp - d, 1)   # right by z-d via full-width wrap
+    b = pltpu.roll(x, z - d, 1)    # fixes the z..zp seam for i >= z-d
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane < z - d, a, b)
+
+
+def _plan(code: QCCode):
+    """Static sweep plan with relative alignment tracking.
+
+    Returns (layers, align0):
+      layers[i] = list of column groups [(j, [(e, shift, rel_read, mask)])]
+        where ``rel_read`` advances the alignment from the previous edge on
+        that column (or from the stored alignment for the first edge);
+      align0[j] = stored row-alignment of column j at sweep boundaries
+        (the last edge of the sweep that touches j — stationary across
+        iterations by construction).
+    """
+    br, bc, sh = code.blocks
+    masks = code.block_row_masks
+    ptr = code.layer_ptr
+    align0 = {}
+    for e in range(len(br)):
+        align0[int(bc[e])] = int(sh[e])
+    align = dict(align0)
+    layers = []
+    for i in range(code.m_b):
+        p0, p1 = int(ptr[i]), int(ptr[i + 1])
+        groups = []
+        e = p0
+        while e < p1:
+            j = int(bc[e])
+            group = []
+            prev = align.get(j, 0)
+            while e < p1 and int(bc[e]) == j:
+                s = int(sh[e])
+                group.append((e, s, (s - prev) % code.z, masks[e]))
+                prev = s
+                e += 1
+            align[j] = prev
+            groups.append((j, group))
+        layers.append(groups)
+    assert align == align0, "sweep alignment must be stationary"
+    return layers, align0
+
+
+def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int, dtype):
+    z, zp = code.z, _pad_z(code.z)
+    n_b = code.n_b
+    layers, align0 = _plan(code)
+    # syndrome plan: per layer, (j, roll from stored alignment, mask)
+    syn_layers = [
+        [(j, (s - align0[j]) % z, mask) for (j, group) in groups
+         for (_, s, _, mask) in group]
+        for groups in layers
+    ]
+
+    def mconst(mask):
+        """bool[z] live-row mask -> [1, zp] lane mask, built from iota
+        comparisons (Pallas kernels cannot capture array constants; real
+        masks exclude only a handful of rows, e.g. the DVB-S2 wrap block's
+        row 0)."""
+        excluded = np.nonzero(~np.asarray(mask))[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, zp), 1)
+        m = lane < z
+        for r in excluded:
+            m = jnp.logical_and(m, lane != int(r))
+        return m
+
+    def kernel(chan_hbm, bits_ref, conv_ref, iters_ref, texec_ref,
+               p_scr, r_scr, done_scr, sem):
+        off = pl.program_id(0) * bt
+        # ---- init: DMA channel LLRs into the posterior, pre-roll each
+        # column block to its steady-state alignment
+        cp = pltpu.make_async_copy(
+            chan_hbm.at[:, pl.ds(off, bt), :], p_scr, sem
+        )
+        cp.start()
+        cp.wait()
+        for j in range(n_b):
+            a = align0.get(j, 0)
+            if a:
+                p_scr[j] = _rel_roll(p_scr[j], a, z, zp)
+        r_scr[:] = jnp.zeros_like(r_scr)
+        done_scr[:] = jnp.zeros_like(done_scr)
+        iters_ref[:] = jnp.zeros_like(iters_ref)
+
+        real_lane = jax.lax.broadcasted_iota(jnp.int32, (bt, zp), 1) < z
+
+        def sweep():
+            live = (1.0 - done_scr[:]).astype(dtype)  # [bt, 1] freeze mask
+            for groups in layers:
+                qs = []
+                xs = {}
+                for (j, group) in groups:
+                    x = p_scr[j]
+                    for (e, s, rel, mask) in group:
+                        x = _rel_roll(x, rel, z, zp)
+                        q = x - r_scr[e]
+                        if mask is not None:
+                            q = jnp.where(mconst(mask), q, _Q_INF)
+                        qs.append(q)
+                    xs[j] = x
+                rn = _check_update_rows(qs, cfg)
+                idx = 0
+                for (j, group) in groups:
+                    y = xs[j]
+                    s_last = group[-1][1]
+                    for (e, s, rel, mask) in group:
+                        delta = rn[idx] - r_scr[e]
+                        if mask is not None:
+                            delta = jnp.where(mconst(mask), delta, 0.0)
+                        y = y + _rel_roll(delta * live, (s_last - s) % z, z, zp)
+                        r_scr[e] = rn[idx]
+                        idx += 1
+                    p_scr[j] = y
+
+        def syndrome():
+            bad = jnp.zeros((bt, zp), jnp.int32)
+            for entries in syn_layers:
+                par = jnp.zeros((bt, zp), jnp.int32)
+                for (j, rel, mask) in entries:
+                    bit = (
+                        _rel_roll(p_scr[j], rel, z, zp).astype(jnp.float32)
+                        <= 0.0
+                    ).astype(jnp.int32)
+                    if mask is not None:
+                        bit = jnp.where(mconst(mask), bit, 0)
+                    par = par + bit
+                bad = bad | (par & 1)
+            bad = jnp.where(real_lane, bad, 0)
+            return jnp.max(bad, axis=1, keepdims=True).astype(jnp.float32)
+
+        def body(carry):
+            t, _ = carry
+            sweep()
+            fail = syndrome()          # [bt, 1]: 1.0 = some check fails
+            done = done_scr[:]
+            d32 = done.astype(jnp.int32)
+            iters_ref[:] = iters_ref[:] * d32 + (t + 1) * (1 - d32)
+            done = jnp.maximum(done, 1.0 - fail)
+            done_scr[:] = done
+            return t + 1, jnp.sum(done)
+
+        def cond(carry):
+            t, n_done = carry
+            c = t < cfg.max_iters
+            if cfg.early_exit:
+                c = jnp.logical_and(c, n_done < float(bt))
+            return c
+
+        t_end, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.float32(0.0))
+        )
+        conv_ref[:] = (done_scr[:] > 0.0).astype(jnp.int8)
+        texec_ref[:] = jnp.full_like(texec_ref, t_end)
+        # final hard decisions, rolled back to canonical column alignment
+        for j in range(n_b):
+            a = align0.get(j, 0)
+            c = _rel_roll(p_scr[j], (z - a) % z, z, zp) if a else p_scr[j]
+            bits_ref[j] = (c.astype(jnp.float32) <= 0.0).astype(jnp.int8)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3))
+def decode_qc_zlane(code: QCCode, cfg: DecoderConfig, llr: jax.Array,
+                    interpret: bool = False):
+    """Decode [B, n] channel LLRs; same DecodeResult contract as
+    :func:`myldpccppapi_tpu.ops.bp.decode_qc` and bit-identical to it."""
+    from .bp import DecodeResult
+
+    if cfg.schedule != "layered":
+        raise NotImplementedError("z-lane kernel supports layered schedules")
+    z, n_b = code.z, code.n_b
+    zp = _pad_z(z)
+    dtype = jnp.bfloat16 if cfg.msg_dtype == "bfloat16" else jnp.float32
+    bt = _batch_tile(cfg)
+    b = llr.shape[0]
+    pad = (-b) % bt
+    llr_p = jnp.pad(llr.astype(dtype), ((0, pad), (0, 0)),
+                    constant_values=_PAD_LLR)
+    bp_ = b + pad
+    chan = llr_p.reshape(bp_, n_b, z).transpose(1, 0, 2)  # [n_b, B, z]
+    if zp > z:
+        chan = jnp.pad(chan, ((0, 0), (0, 0), (0, zp - z)),
+                       constant_values=_PAD_LLR)
+    grid = (bp_ // bt,)
+    out_shape = (
+        jax.ShapeDtypeStruct((n_b, bp_, zp), jnp.int8),  # bits (canonical)
+        jax.ShapeDtypeStruct((bp_, 1), jnp.int8),         # converged
+        jax.ShapeDtypeStruct((bp_, 1), jnp.int32),        # iterations
+        jax.ShapeDtypeStruct((bp_, 1), jnp.int32),        # executed per tile
+    )
+    kernel = _build_kernel(code, cfg, bt, dtype)
+    scalar_spec = pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    bits, conv, iters, texec = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # chan stays in HBM
+        out_specs=(
+            pl.BlockSpec((n_b, bt, zp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            scalar_spec, scalar_spec, scalar_spec,
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((n_b, bt, zp), dtype),              # posterior
+            pltpu.VMEM((code.num_blocks, bt, zp), dtype),  # R messages
+            pltpu.VMEM((bt, 1), jnp.float32),              # done mask
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),  # tiles are independent
+        ),
+        interpret=interpret,
+    )(chan)
+    bits_bn = bits[:, :b, :z].transpose(1, 0, 2).reshape(b, n_b * z)
+    return DecodeResult(
+        bits=bits_bn.astype(jnp.uint8),
+        converged=conv[:b, 0] > 0,
+        iterations=iters[:b, 0],
+        total_iters=jnp.max(texec[:, 0]),
+    )

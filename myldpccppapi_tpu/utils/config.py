@@ -26,9 +26,14 @@ class DecoderConfig:
     early_exit:   stop when every codeword in the (local) batch satisfies all
                   parity checks — the on-device replacement for the
                   reference's per-iteration flag readback (MyLdpc.cpp:818-833)
-    implementation: "auto" | "jnp" | "pallas" | "pallas_stream" | "edgelist"
-                  (edgelist = generic gather/scatter path for non-QC codes;
-                  pallas_stream = HBM-streaming fused kernel for long codes)
+    implementation: "auto" | "jnp" | "pallas" | "pallas_zlane" |
+                  "pallas_stream" | "edgelist"
+                  (pallas = fused VMEM kernel, codewords on lanes, for codes
+                  fitting VMEM at 128 lanes; pallas_zlane = fused VMEM
+                  kernel with the lifting dimension z on lanes, for long
+                  codes like DVB-S2 n=64800 / NR Z=384; pallas_stream =
+                  HBM-streaming fallback beyond VMEM; edgelist = generic
+                  gather/scatter path for non-QC codes)
     """
 
     algorithm: str = "min-sum"
@@ -59,7 +64,8 @@ class DecoderConfig:
         if self.schedule not in ("flooding", "layered"):
             raise ValueError(f"unknown schedule {self.schedule!r}")
         if self.implementation not in (
-            "auto", "jnp", "pallas", "pallas_stream", "edgelist"
+            "auto", "jnp", "pallas", "pallas_zlane", "pallas_stream",
+            "edgelist"
         ):
             raise ValueError(f"unknown implementation {self.implementation!r}")
         if self.msg_dtype not in ("float32", "bfloat16"):

@@ -95,3 +95,98 @@ def test_decode_end_to_end(code, rng, schedule):
     res = dec(jnp.asarray(llr))
     assert np.asarray(res.converged).all()
     assert (np.asarray(dec.info_bits(res)) == u).all()
+
+
+# ---------------------------------------------------------------------------
+# Standard-structure IRA code in QC form (dvbs2_ira_qc)
+# ---------------------------------------------------------------------------
+
+def _std_h_dense(n, k, addresses):
+    """EN 302 307 H built directly in the STANDARD domain: group addresses
+    q-spread over accumulator rows, bidiagonal parity."""
+    m = n - k
+    q = m // 360
+    h = np.zeros((m, n), dtype=bool)
+    for g, addrs in enumerate(addresses):
+        for j in range(360):
+            for a in addrs:
+                h[(a + j * q) % m, g * 360 + j] ^= True
+    for i in range(m):
+        h[i, k + i] = True
+        if i + 1 < m:
+            h[i + 1, k + i] = True
+    return h
+
+
+def test_ira_qc_matches_standard_domain_h():
+    """The QC-form H must be EXACTLY the standard accumulator H under the
+    row-residue and parity-interleave permutations — including multi-edge
+    blocks and the masked wrap circulant."""
+    from myldpccppapi_tpu.codes.dvbs2 import (
+        dvbs2_ira_qc,
+        std_interleave,
+        synthetic_address_table,
+    )
+
+    n, rate = 16200, "8/9"   # k=14400, m=1800, q=5: small enough for dense
+    addresses = synthetic_address_table(n, rate)
+    code = dvbs2_ira_qc(n, rate, addresses)
+    k, m, q, z = code.k, code.m, code.m_b, code.z
+    h_std = _std_h_dense(n, k, addresses)
+    # row permutation: std row i -> internal row (i % q) * z + (i // q)
+    i = np.arange(m)
+    row_perm = (i % q) * z + i // q
+    col_perm = std_interleave(n, k)
+    h_perm = np.zeros_like(h_std)
+    h_perm[row_perm[:, None], col_perm[None, :]] = h_std[i[:, None],
+                                                         np.arange(n)[None, :]]
+    assert (code.h_dense() == h_perm).all()
+
+
+def test_ira_qc_structure_and_encode():
+    from myldpccppapi_tpu.codes.dvbs2 import (
+        dvbs2_ira_qc,
+        ira_encode_fn,
+        ira_encode_numpy,
+        std_interleave,
+    )
+
+    code = dvbs2_ira_qc(16200, "8/9")
+    assert code.z == 360 and code.k == 14400 and code.m_b == 5
+    # masked wrap block: one edge short of a full circulant
+    assert code.num_edges == code.num_blocks * code.z - 1
+    h = code.h_dense()
+    # internal parity block 0 lane 0 is std parity bit 0 etc.; column
+    # degrees: every parity column 2 except the last std parity bit (deg 1)
+    cdeg = h[:, code.k:].sum(axis=0)
+    assert sorted(np.unique(cdeg)) == [1, 2]
+    assert cdeg.sum() == 2 * code.m - 1
+    rng = np.random.default_rng(1)
+    u = rng.integers(0, 2, size=(3, code.k), dtype=np.uint8)
+    c = ira_encode_numpy(code, u)
+    assert code.syndrome(c).sum() == 0
+    assert (c[:, : code.k] == u).all()
+    c_j = np.asarray(jax.jit(ira_encode_fn(code))(jnp.asarray(u)))
+    assert (c_j == c).all()
+    # std_interleave is a permutation and maps info bits to themselves
+    perm = std_interleave(code.n, code.k)
+    assert len(np.unique(perm)) == code.n
+    assert (perm[: code.k] == np.arange(code.k)).all()
+
+
+def test_ira_qc_decode_end_to_end(rng):
+    from myldpccppapi_tpu.codes.dvbs2 import dvbs2_ira_qc, ira_encode_numpy
+    from myldpccppapi_tpu.ops.bp import decode_qc
+
+    code = dvbs2_ira_qc(16200, "8/9")
+    u = rng.integers(0, 2, size=(4, code.k), dtype=np.uint8)
+    c = ira_encode_numpy(code, u)
+    sigma = 10 ** (-6.5 / 20)
+    y = (1.0 - 2.0 * c.astype(np.float32)) + rng.normal(
+        0, sigma, c.shape
+    ).astype(np.float32)
+    llr = jnp.asarray(2.0 * y / sigma**2)
+    cfg = DecoderConfig(schedule="layered", normalization=0.8, max_iters=30)
+    res = decode_qc(code, cfg, llr)
+    assert np.asarray(res.converged).all()
+    assert (np.asarray(res.bits)[:, : code.k] == u).all()
