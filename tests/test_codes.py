@@ -70,6 +70,37 @@ def test_wifi_construction():
         assert gf2_rank(h[:, c.k:]) == c.m
 
 
+def test_wifi_full_table_set():
+    """All 12 Annex tables: dimensions, shift ranges, the standard's
+    dual-diagonal parity structure, and full-rank parity (every table
+    encodes at the nominal rate)."""
+    import numpy as np
+
+    from myldpccppapi_tpu.codes.base_matrices import WIFI_SEEDS
+
+    assert len(WIFI_SEEDS) == 12
+    for n in (648, 1296, 1944):
+        z = n // 24
+        for rate, m_b in (("1/2", 12), ("2/3", 8), ("3/4", 6), ("5/6", 4)):
+            code = wifi(n, rate)
+            assert (code.z, code.m_b, code.n_b) == (z, m_b, 24)
+            base = code.base
+            assert base.max() < z and base.min() >= -1
+            kb = 24 - m_b
+            # first parity column: entries at rows 0 / middle / last with
+            # shift 1 / 0 / 1 (the 802.11n differential-encoding column)
+            col = base[:, kb]
+            nz = np.nonzero(col >= 0)[0]
+            assert nz[0] == 0 and nz[-1] == m_b - 1 and len(nz) == 3
+            assert col[0] == 1 and col[nz[1]] == 0 and col[m_b - 1] == 1
+            # dual-diagonal staircase on the remaining parity columns
+            for j in range(m_b - 1):
+                pc = base[:, kb + 1 + j]
+                rows = set(np.nonzero(pc >= 0)[0])
+                assert rows == {j, j + 1} and pc[j] == 0 and pc[j + 1] == 0
+            assert gf2_rank(code.h_dense()[:, code.k:]) == code.m
+
+
 def test_gf2_inverse():
     rng = np.random.default_rng(0)
     for n in [1, 2, 17, 64]:
@@ -85,3 +116,27 @@ def test_gf2_singular_raises():
     m = np.zeros((4, 4), dtype=np.bool_)
     with pytest.raises(np.linalg.LinAlgError):
         gf2_inv(m)
+
+
+def test_wifi_roundtrip_each_length():
+    """One end-to-end encode->AWGN->decode per 802.11n length."""
+    import jax
+    import jax.numpy as jnp
+
+    from myldpccppapi_tpu import Decoder, DecoderConfig, Encoder
+    from myldpccppapi_tpu.codes import encode_numpy
+    from myldpccppapi_tpu.ops.channel import transmit
+
+    rng = np.random.default_rng(0)
+    for (n, rate) in ((648, "3/4"), (1296, "2/3"), (1944, "3/4")):
+        code = wifi(n, rate)
+        enc = Encoder(code)
+        u = rng.integers(0, 2, size=(8, code.k), dtype=np.uint8)
+        c = encode_numpy(enc.mats, u)
+        assert code.syndrome(c).sum() == 0
+        llr, _ = transmit(jax.random.PRNGKey(1), jnp.asarray(c), snr_db=7.0)
+        dec = Decoder(code, DecoderConfig(schedule="layered",
+                                          normalization=0.75))
+        res = dec(llr)
+        assert np.asarray(res.converged).all()
+        assert (np.asarray(res.bits)[:, : code.k] == u).all()
