@@ -37,12 +37,70 @@ __all__ = [
     "triangular_encode_numpy",
     "rate_match_llr",
     "rate_match_bits",
+    "rv_start",
+    "lifting_set_index",
+    "parse_bg_table",
     "NR_ZMAX",
+    "NR_LIFTING_SETS",
 ]
 
 NR_ZMAX = 384
 
 _BG_SHAPES = {1: (46, 68, 22), 2: (42, 52, 10)}
+
+#: TS 38.212 Table 5.3.2-1: supported lifting sizes Z = a * 2^j, grouped
+#: into 8 sets by a in {2, 3, 5, 7, 9, 11, 13, 15}; the published shift
+#: tables give one value column V per set, and the applied shift is
+#: ``V mod Z``.
+NR_LIFTING_SETS = (
+    (2, 4, 8, 16, 32, 64, 128, 256),
+    (3, 6, 12, 24, 48, 96, 192, 384),
+    (5, 10, 20, 40, 80, 160, 320),
+    (7, 14, 28, 56, 112, 224),
+    (9, 18, 36, 72, 144, 288),
+    (11, 22, 44, 88, 176, 352),
+    (13, 26, 52, 104, 208),
+    (15, 30, 60, 120, 240),
+)
+
+
+def lifting_set_index(z: int) -> int:
+    """iLS of a supported lifting size (TS 38.212 Table 5.3.2-1)."""
+    for i, zs in enumerate(NR_LIFTING_SETS):
+        if z in zs:
+            return i
+    raise ValueError(f"Z={z} is not a 38.212 lifting size")
+
+
+def parse_bg_table(text: str) -> np.ndarray:
+    """Parse a TS 38.212-style base-graph shift table into a dense
+    [m_b, n_b, 8] V-value array (-1 = null entry).
+
+    Accepted line format: ``row col v0 v1 v2 v3 v4 v5 v6 v7`` (one line per
+    non-null base-graph entry, one V column per lifting set; '#' comments
+    and blank lines ignored).  Feed the result to :func:`nr_code` via
+    ``table=`` for the bit-true standard code — the published tables are
+    data for this loader (they are not embedded here: this environment has
+    no access to the 3GPP publication, and a from-memory transcription of
+    2528 constants would risk silent corruption).
+    """
+    entries = []
+    for line in text.strip().splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        toks = [int(t) for t in line.split()]
+        if len(toks) != 10:
+            raise ValueError(
+                f"expected 'row col v0..v7' (10 ints), got {len(toks)}"
+            )
+        entries.append(toks)
+    m_b = max(e[0] for e in entries) + 1
+    n_b = max(e[1] for e in entries) + 1
+    table = np.full((m_b, n_b, 8), -1, dtype=np.int32)
+    for e in entries:
+        table[e[0], e[1]] = e[2:]
+    return table
 
 
 def nr_base_graph(bg: int = 1, zmax: int = NR_ZMAX) -> np.ndarray:
@@ -87,11 +145,27 @@ def nr_base_graph(bg: int = 1, zmax: int = NR_ZMAX) -> np.ndarray:
     return base
 
 
-def nr_code(z: int = 384, bg: int = 1) -> QCCode:
-    """Lift the BG to size ``z``: shifts scale as ``s mod z`` (38.212 rule
-    for the largest set; the per-set tables collapse onto one here)."""
+def nr_code(z: int = 384, bg: int = 1,
+            table: "np.ndarray | None" = None) -> QCCode:
+    """Lift a base graph to size ``z`` per the 38.212 rule: the applied
+    shift of a non-null entry is ``V mod z`` with V taken from the lifting
+    set of ``z`` (``lifting_set_index``).
+
+    ``table`` may be a [m_b, n_b, 8] per-set V array (the output of
+    :func:`parse_bg_table` on the published tables — bit-true standard
+    code) or a [m_b, n_b] single-V array; default is the synthetic
+    :func:`nr_base_graph` (standard structure, synthetic values).
+    """
     m_b, n_b, k_b = _BG_SHAPES[bg]
-    raw = nr_base_graph(bg)
+    if table is None:
+        raw = nr_base_graph(bg)
+    elif np.asarray(table).ndim == 3:
+        tab = np.asarray(table)
+        if tab.shape[:2] != (m_b, n_b):
+            raise ValueError(f"BG{bg} table must be [{m_b}, {n_b}, 8]")
+        raw = tab[:, :, lifting_set_index(z)]
+    else:
+        raw = np.asarray(table)
     base = np.where(raw >= 0, raw % z, -1).astype(np.int32)
     return QCCode(
         name=f"nr_bg{bg}_z{z}",
@@ -156,29 +230,54 @@ def triangular_encode_fn(code: QCCode):
 
 
 # ---------------------------------------------------------------------------
-# Rate matching (TS 38.212 §5.4.2 style, rv0)
+# Rate matching (TS 38.212 §5.4.2: circular buffer, redundancy versions)
 # ---------------------------------------------------------------------------
 
-def rate_match_bits(code: QCCode, cw: jax.Array, e: int) -> jax.Array:
+#: TS 38.212 Table 5.4.2.1-2 numerators of the rv starting position
+#: k0 = floor(num * Ncb / (den * Zc)) * Zc, indexed [bg][rv].
+_RV_K0_NUM = {1: (0, 17, 33, 56), 2: (0, 13, 25, 43)}
+_RV_K0_DEN = {1: 66, 2: 50}
+
+
+def rv_start(code: QCCode, rv: int = 0, n_cb: "int | None" = None) -> int:
+    """Circular-buffer starting position k0 of redundancy version ``rv``
+    (TS 38.212 Table 5.4.2.1-2)."""
+    if rv not in (0, 1, 2, 3):
+        raise ValueError(f"rv must be 0..3, got {rv}")
+    bg = 1 if code.n_b == 68 else 2
+    z = code.z
+    if n_cb is None:
+        n_cb = code.n - code.punctured_front
+    return (_RV_K0_NUM[bg][rv] * n_cb) // (_RV_K0_DEN[bg] * z) * z
+
+
+def rate_match_bits(code: QCCode, cw: jax.Array, e: int, rv: int = 0,
+                    n_cb: "int | None" = None) -> jax.Array:
     """[..., n] codeword -> [..., e] transmitted bits: skip the first 2Z
-    punctured systematic bits, then read the circular buffer."""
+    punctured systematic bits, then read the circular buffer of length
+    ``n_cb`` starting at rv's k0, wrapping as needed."""
     p = code.punctured_front
     buf = cw[..., p:]
-    n_buf = buf.shape[-1]
-    idx = np.arange(e) % n_buf
+    if n_cb is None:
+        n_cb = buf.shape[-1]
+    idx = (rv_start(code, rv, n_cb) + np.arange(e)) % n_cb
     return buf[..., idx]
 
 
-def rate_match_llr(code: QCCode, llr_e: jax.Array, e: int) -> jax.Array:
+def rate_match_llr(code: QCCode, llr_e: jax.Array, e: int, rv: int = 0,
+                   n_cb: "int | None" = None) -> jax.Array:
     """[..., e] received LLRs -> [..., n] decoder input.
 
     Untransmitted buffer positions get LLR 0 (unknown); repeated positions
-    accumulate (soft combining); the 2Z never-transmitted punctured bits get
-    LLR 0 as well.
+    accumulate (soft combining — also correct for HARQ retransmissions
+    decoded jointly); the 2Z never-transmitted punctured bits get LLR 0 as
+    well.
     """
     p = code.punctured_front
     n_buf = code.n - p
-    idx = np.arange(e) % n_buf
+    if n_cb is None:
+        n_cb = n_buf
+    idx = (rv_start(code, rv, n_cb) + np.arange(e)) % n_cb
     buf = jnp.zeros(llr_e.shape[:-1] + (n_buf,), llr_e.dtype)
     buf = buf.at[..., idx].add(llr_e)
     front = jnp.zeros(llr_e.shape[:-1] + (p,), llr_e.dtype)

@@ -97,3 +97,93 @@ def test_nr_end_to_end_decode(code, rng):
     res = dec(llr)
     assert np.asarray(res.converged).all()
     assert (np.asarray(res.bits)[:, : code.k] == u).all()
+
+
+def test_lifting_sets_and_parser():
+    from myldpccppapi_tpu.codes.nr import (
+        NR_LIFTING_SETS,
+        lifting_set_index,
+        nr_code,
+        parse_bg_table,
+    )
+
+    all_z = sorted(z for zs in NR_LIFTING_SETS for z in zs)
+    assert len(all_z) == 51 and all_z[0] == 2 and all_z[-1] == 384
+    assert lifting_set_index(384) == 1 and lifting_set_index(208) == 6
+    with pytest.raises(ValueError):
+        lifting_set_index(17)
+    # round-trip a mini table through the 38.212-format parser
+    text = """
+    # row col v0..v7
+    0 0 1 2 3 4 5 6 7 8
+    0 1 10 11 12 13 14 15 16 17
+    1 1 0 0 0 0 0 0 0 0
+    """
+    tab = parse_bg_table(text)
+    assert tab.shape == (2, 2, 8)
+    assert tab[0, 0, 1] == 2 and tab[1, 0, 0] == -1
+    # per-set selection: Z=24 (set 1) picks column 1, applied mod z
+    import numpy as np
+
+    full = np.full((46, 68, 8), -1, dtype=np.int32)
+    from myldpccppapi_tpu.codes.nr import nr_base_graph
+
+    raw = nr_base_graph(1)
+    for s in range(8):
+        full[:, :, s] = np.where(raw >= 0, (raw + s) % 384, -1)
+    code = nr_code(z=24, bg=1, table=full)
+    expect = np.where(raw >= 0, (raw + 1) % 384 % 24, -1)
+    assert (code.base == expect).all()
+
+
+def test_rv_rate_matching_roundtrip():
+    """rv0-3 starting offsets per Table 5.4.2.1-2; LLR de-rate-matching
+    recovers every transmitted position with soft combining."""
+    import numpy as np
+
+    from myldpccppapi_tpu.codes.nr import (
+        nr_code,
+        rate_match_bits,
+        rate_match_llr,
+        rv_start,
+    )
+
+    code = nr_code(z=16, bg=1)
+    n_cb = code.n - code.punctured_front  # 66 * z
+    z = code.z
+    assert rv_start(code, 0) == 0
+    assert rv_start(code, 1) == 17 * z
+    assert rv_start(code, 2) == 33 * z
+    assert rv_start(code, 3) == 56 * z
+    # limited buffer rounds k0 down to a multiple of z
+    assert rv_start(code, 1, n_cb=40 * z) % z == 0
+    assert rv_start(code, 1, n_cb=40 * z) == (17 * 40 // 66) * z
+    cw = jnp.asarray(np.arange(code.n) % 2, jnp.float32)[None]
+    e = n_cb // 2
+    for rv in range(4):
+        tx = rate_match_bits(code, cw, e, rv=rv)
+        k0 = rv_start(code, rv)
+        assert tx.shape == (1, e)
+        assert tx[0, 0] == cw[0, code.punctured_front + k0]
+        # llr scatter puts values back at the right buffer positions
+        llr = rate_match_llr(code, 2.0 * tx - 1.0, e, rv=rv)
+        assert llr.shape == (1, code.n)
+        assert (llr[0, : code.punctured_front] == 0).all()
+        pos = code.punctured_front + (k0 + 7) % n_cb
+        assert llr[0, pos] == 2.0 * cw[0, code.punctured_front + (k0 + 7) % n_cb] - 1.0
+
+
+def test_rv_soft_combining():
+    """Two transmissions (rv0 + rv2) accumulate LLRs in the buffer."""
+    import numpy as np
+
+    from myldpccppapi_tpu.codes.nr import nr_code, rate_match_llr
+
+    code = nr_code(z=16, bg=2)
+    n_cb = code.n - code.punctured_front
+    e = n_cb  # full buffer each time
+    ones = jnp.ones((1, e), jnp.float32)
+    l0 = rate_match_llr(code, ones, e, rv=0)
+    l2 = rate_match_llr(code, ones, e, rv=2)
+    combined = l0 + l2
+    assert (np.asarray(combined[0, code.punctured_front:]) == 2.0).all()
