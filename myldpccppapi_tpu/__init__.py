@@ -10,12 +10,13 @@ termination — scaled over TPU meshes via shard_map with psum'd statistics.
 from .codes import Encoder, QCCode, regular, wimax, wifi
 from .decoder import DecodeResult, Decoder
 from .utils.config import DecoderConfig, RunConfig
-from .coder import Coder
+from .coder import Coder, make_codec
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Coder",
+    "make_codec",
     "Decoder",
     "DecodeResult",
     "DecoderConfig",

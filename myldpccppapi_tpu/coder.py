@@ -35,7 +35,59 @@ from .ops.channel import awgn, bpsk_modulate
 from .ops.packing import pack_bits_np, unpack_bits_np
 from .utils.config import DecoderConfig
 
-__all__ = ["Coder", "DECODE_TYPES"]
+__all__ = ["Coder", "DECODE_TYPES", "make_codec"]
+
+
+def make_codec(family: str, n: int | None = None, rate: str = "1/2", *,
+               z: int | None = None, bg: int = 1,
+               max_iters: int = 40) -> "Coder":
+    """Byte-stream :class:`Coder` for any supported code family.
+
+    ==========  ==============================================  ===========
+    family       code construction                               encoder
+    ==========  ==============================================  ===========
+    "wimax"      802.16e, ``n`` in {576..2304}, 6 rate tables    RU / MXU matmul
+    "wifi"       802.11n, ``n`` in {648, 1296, 1944}, 4 rates    RU / MXU matmul
+    "regular"    array-construction (3,6), any ``n`` mult. 6     information-set
+    "nr"         5G NR BG1/BG2 at lifting ``z``                  triangular back-subst.
+    "dvbs2"      EN 302 307 IRA structure, n=64800/16200         accumulator prefix-XOR
+    ==========  ==============================================  ===========
+
+    The byte-stream semantics (chunking, LSB-first packing, size queries,
+    ``test``/``decode``) are identical across families; 802.16e behavior is
+    exactly the reference's (``MyLdpc.cpp:554-618``).
+    """
+    family = family.lower()
+    if family == "wimax":
+        n = n or 576
+        code = wimax(n, rate)
+        return Coder(code.k, n, rate, max_iters=max_iters)
+    if family == "wifi":
+        from .codes.wifi import wifi
+
+        code = wifi(n or 1296, rate)
+        return Coder(code=code, max_iters=max_iters)
+    if family == "regular":
+        from .codes.regular import regular
+
+        return Coder(code=regular(n or 648), max_iters=max_iters)
+    if family == "nr":
+        from .codes.nr import nr_code, triangular_encode_fn, triangular_encode_numpy
+
+        code = nr_code(z=z or 384, bg=bg)
+        enc_np = lambda u: triangular_encode_numpy(code, u)
+        return Coder(code=code, max_iters=max_iters,
+                     encoders=(enc_np, triangular_encode_fn(code)))
+    if family == "dvbs2":
+        from .codes.dvbs2 import dvbs2_ira_qc, ira_encode_fn, ira_encode_numpy
+
+        code = dvbs2_ira_qc(n or 64800, rate)
+        enc_np = lambda u: ira_encode_numpy(code, u)
+        return Coder(code=code, max_iters=max_iters,
+                     encoders=(enc_np, ira_encode_fn(code)))
+    raise ValueError(
+        f"unknown family {family!r}; choose from wimax, wifi, regular, nr, dvbs2"
+    )
 
 DECODE_TYPES = {
     "CPU": None,
@@ -49,28 +101,48 @@ DECODE_TYPES = {
 
 
 class Coder:
-    """Byte-stream QC-LDPC codec over the 802.16e family.
+    """Byte-stream LDPC codec.
 
-    ``Coder(k, n, rate)`` validates k/n against the rate like the reference's
-    constructor; ``rate`` is a string ("1/2", "2/3A", "2/3B", "3/4A", "3/4B",
-    "5/6").
+    ``Coder(k, n, rate)`` is the reference-compatible 802.16e constructor
+    (``rate`` in "1/2", "2/3A", "2/3B", "3/4A", "3/4B", "5/6"); any other
+    code family plugs in via :func:`make_codec`, which picks the right
+    encoder (RU/MXU matmul, triangular back-substitution, or IRA
+    accumulator) per family.
+
+    Streaming contract: the byte stream is chunked into ``k_info // 8``
+    bytes per codeword (trailing info bits of a non-byte-aligned k — e.g.
+    802.11n n=648 rate 1/2, k=324 — are always zero).
     """
 
-    def __init__(self, ldpc_k: int, ldpc_n: int, rate: str, max_iters: int = 40):
-        self.code = wimax(ldpc_n, rate)
-        if self.code.k != ldpc_k:
-            raise ValueError(
-                f"k={ldpc_k} inconsistent with n={ldpc_n} rate={rate} "
-                f"(expected k={self.code.k})"
-            )
+    def __init__(self, ldpc_k: int | None = None, ldpc_n: int | None = None,
+                 rate: str | None = None, max_iters: int = 40, *,
+                 code=None, encoders=None):
+        if code is None:
+            code = wimax(ldpc_n, rate)
+            if code.k != ldpc_k:
+                raise ValueError(
+                    f"k={ldpc_k} inconsistent with n={ldpc_n} rate={rate} "
+                    f"(expected k={code.k})"
+                )
+        self.code = code
+        #: optional (numpy_fn, jnp_fn) pair: info bits [ncw, k_info] -> full
+        #: codeword [ncw, n]; None = RU / generic information-set encoder
+        self._custom_encoders = encoders
+        self._kb = self.code.k_info // 8
         self.max_iters = max_iters
         self._encoder: Encoder | None = None
+        self._encode_np = None
+        self._encode_jit = None
         self._decoders: dict[str, Decoder] = {}
         self.batch_size = 0
 
     # -- arming ------------------------------------------------------------
     def for_encoder(self) -> None:
-        self._encoder = Encoder(self.code)
+        if self._custom_encoders is not None:
+            self._encode_np, enc_j = self._custom_encoders
+            self._encode_jit = jax.jit(enc_j) if enc_j is not None else None
+        else:
+            self._encoder = Encoder(self.code)
 
     def for_decoder(self, batch_size: int) -> None:
         self.batch_size = int(batch_size)
@@ -89,7 +161,7 @@ class Coder:
 
     # -- size queries (same rounding contract as MyLdpc.cpp:620-631) -------
     def get_code_size(self, src_length: int) -> int:
-        kb = self.code.k // 8
+        kb = self._kb
         return (src_length + kb - 1) // kb
 
     def get_prior_code_length(self, src_length: int) -> int:
@@ -105,21 +177,33 @@ class Coder:
         The stream is chunked into k/8-byte blocks; the final partial block
         is zero-padded (reference: ``MyLdpc.cpp:554-569,661-662``).
         """
-        if self._encoder is None:
+        if self._encoder is None and self._encode_np is None:
             raise RuntimeError("call for_encoder() first")
         src = np.frombuffer(bytes(src), dtype=np.uint8) if isinstance(src, (bytes, bytearray)) else np.asarray(src, dtype=np.uint8)
-        kb = self.code.k // 8
+        kb = self._kb
         ncw = self.get_code_size(len(src))
         padded = np.zeros(ncw * kb, dtype=np.uint8)
         padded[: len(src)] = src
-        info_bits = unpack_bits_np(padded.reshape(ncw, kb))  # [ncw, k]
-        if ncw < 256:
+        info_bits = unpack_bits_np(padded.reshape(ncw, kb))  # [ncw, kb*8]
+        k_info = self.code.k_info
+        if k_info > kb * 8:  # non-byte-aligned k: trailing info bits are 0
+            info_bits = np.concatenate(
+                [info_bits,
+                 np.zeros((ncw, k_info - kb * 8), dtype=info_bits.dtype)],
+                axis=1,
+            )
+        if self._encode_np is not None:
+            if ncw < 256 or self._encode_jit is None:
+                cw = np.asarray(self._encode_np(info_bits))
+            else:
+                cw = np.asarray(self._encode_jit(jnp.asarray(info_bits)))
+        elif ncw < 256:
             # small streams: the host matmul beats paying an accelerator
             # compile for a one-shot encode
             cw = encode_numpy(self._encoder.mats, info_bits)
         else:
             cw = np.asarray(self._encoder(jnp.asarray(info_bits)))  # [ncw, n]
-        return pack_bits_np(cw).reshape(-1)
+        return pack_bits_np(cw.astype(np.uint8)).reshape(-1)
 
     def test(self, prior_code: np.ndarray, sigma: float, seed: int = 0) -> np.ndarray:
         """BPSK + AWGN over a packed codeword stream -> soft values [len*8].
@@ -178,7 +262,8 @@ class Coder:
             bits = np.concatenate(outs, axis=0)
             conv = np.concatenate(convs)
             iters = np.concatenate(iterss)
-        packed = pack_bits_np(bits[:, : self.code.k]).reshape(-1)
+        pos = np.asarray(self.code.info_positions)[: self._kb * 8]
+        packed = pack_bits_np(bits[:, pos]).reshape(-1)
         decoded = packed[:src_length]
         if return_stats:
             # per-codeword convergence + iteration counts (the reference

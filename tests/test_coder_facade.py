@@ -41,3 +41,54 @@ def test_size_queries():
 def test_bad_k_raises():
     with pytest.raises(ValueError):
         Coder(431, 576, "3/4B")
+
+
+@pytest.mark.parametrize(
+    "family,kwargs",
+    [
+        ("wimax", dict(n=576, rate="3/4B")),
+        ("wifi", dict(n=648, rate="1/2")),     # k=324: non-byte-aligned
+        ("wifi", dict(n=1296, rate="2/3")),
+        ("regular", dict(n=648)),              # rank-deficient info set
+        ("nr", dict(z=32, bg=1)),
+        ("dvbs2", dict(n=16200, rate="8/9")),
+    ],
+)
+def test_make_codec_roundtrip(family, kwargs):
+    """Byte-stream facade for every family: encode -> light noise ->
+    decode recovers the exact source bytes."""
+    from myldpccppapi_tpu.coder import make_codec
+
+    codec = make_codec(family, **kwargs)
+    codec.for_encoder()
+    codec.for_decoder(batch_size=8)
+    src = bytes((7 * i + 3) % 256 for i in range(3 * (codec._kb) + 5))
+    prior = codec.encode(src)
+    assert len(prior) == codec.get_prior_code_length(len(src))
+    sigma = 10 ** (-7.0 / 20)
+    post = codec.test(prior, sigma, seed=1)
+    decoded, stats = codec.decode(
+        post, len(src), "TDMP", return_stats=True
+    )
+    assert bytes(decoded) == src
+    assert stats["converged"].all()
+
+
+def test_make_codec_wimax_matches_reference_coder():
+    """make_codec('wimax') must behave exactly like the reference-style
+    constructor (same stream bytes)."""
+    from myldpccppapi_tpu.coder import make_codec
+
+    a = make_codec("wimax", n=576, rate="1/2")
+    b = Coder(288, 576, "1/2")
+    for c in (a, b):
+        c.for_encoder()
+    src = bytes(range(72))
+    assert bytes(a.encode(src)) == bytes(b.encode(src))
+
+
+def test_make_codec_unknown_family():
+    from myldpccppapi_tpu.coder import make_codec
+
+    with pytest.raises(ValueError):
+        make_codec("polar")
