@@ -130,40 +130,75 @@ def config2():
 
 
 def config3():
-    """DVB-S2 n=64800 rate-1/2, layered min-sum, batch 1024."""
+    """DVB-S2 n=64800 rate-1/2 (EN 302 307 IRA structure), layered min-sum,
+    batch 1024 — the long-code memory-layout stress.
+
+    Methodology: channel noise is generated ON DEVICE (pre-generated under
+    distinct keys, outside the timed region) so no multi-hundred-MB LLR
+    uploads skew timing; each timed dispatch decodes TWO 1024-frame batches
+    and reduces to scalar counters, amortizing the dev tunnel's fixed
+    ~30 ms RPC floor (see BENCH_NOTES.md).
+    """
     import jax
     import jax.numpy as jnp
 
     from myldpccppapi_tpu import Decoder, DecoderConfig
-    from myldpccppapi_tpu.codes import dvbs2_qc
-    from myldpccppapi_tpu.codes.dvbs2 import qc_ira_encode_numpy
+    from myldpccppapi_tpu.codes.dvbs2 import dvbs2_ira_qc, ira_encode_numpy
 
-    code = dvbs2_qc(64800, "1/2")  # z=360 QC form: the fast decode path
+    code = dvbs2_ira_qc(64800, "1/2")
     rng = np.random.default_rng(0)
     batch = 1024
     u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
-    cw = qc_ira_encode_numpy(code, u)
-    snr_db = 1.2
+    cw = ira_encode_numpy(code, u)
+    snr_db = 1.4
     sigma = 10 ** (-snr_db / 20)
-    sym = 1.0 - 2.0 * cw.astype(np.float32)
-    llrs = [
-        jax.device_put(jnp.asarray(
-            2.0 * (sym + rng.normal(0, sigma, sym.shape).astype(np.float32)) / sigma**2
-        ))
-        for _ in range(3)
-    ]
+    sym_dev = jax.device_put(jnp.asarray(1.0 - 2.0 * cw.astype(np.float32)))
+    u_dev = jax.device_put(jnp.asarray(u, jnp.int8))
+
+    @jax.jit
+    def make_llr(key):
+        noise = sigma * jax.random.normal(key, sym_dev.shape, jnp.float32)
+        return 2.0 * (sym_dev + noise) / (sigma * sigma)
+
     dec = Decoder(
-        code, DecoderConfig(schedule="layered", normalization=0.8, max_iters=50)
+        code, DecoderConfig(schedule="layered", normalization=0.8, max_iters=30)
     )
-    mbits, res, dt = _throughput(dec, llrs, code.k, batch)
-    conv = np.asarray(res.converged)
-    ok = (np.asarray(res.bits)[conv][:, : code.k] == u[conv]).all()
+
+    @jax.jit
+    def run(llr_a, llr_b):
+        tots = []
+        for llr in (llr_a, llr_b):
+            res = dec(llr)
+            berr = jnp.sum(
+                (res.bits[:, : code.k].astype(jnp.int8) != u_dev).astype(jnp.int32)
+            )
+            tots.append((jnp.sum(res.iterations),
+                         jnp.sum(jnp.where(res.converged, 1, 0)), berr))
+        return tuple(sum(t[i] for t in tots) for i in range(3))
+
+    llrs = [make_llr(jax.random.PRNGKey(i)) for i in range(8)]
+    jax.block_until_ready(llrs)
+    out = run(llrs[0], llrs[1])  # compile + warm (never re-timed)
+    jax.block_until_ready(out)
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = run(llrs[2 + 2 * i], llrs[3 + 2 * i])
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    frames = 2 * batch
+    iters_sum, conv_sum, berr = (int(x) for x in out)
+    mbits = frames * code.k / dt / 1e6
     _emit({
-        "config": 3, "name": "dvbs2_64800_r12_layered_b1024",
-        "throughput_mbits": round(mbits, 3), "batch_ms": round(dt * 1e3, 3),
-        "conv_rate": round(float(conv.mean()), 4),
-        "mean_iters": round(float(np.asarray(res.iterations).mean()), 2),
-        "decoded_ok": bool(ok), "impl": dec.implementation,
+        "config": 3, "name": "dvbs2ira_64800_r12_layered_b1024",
+        "throughput_mbits": round(mbits, 3),
+        "dispatch_ms": round(dt * 1e3, 3), "frames_per_dispatch": frames,
+        "snr_db": snr_db,
+        "conv_rate": round(conv_sum / frames, 4),
+        "mean_iters": round(iters_sum / frames, 2),
+        "bit_errors": berr,
+        "impl": dec.implementation,
     })
 
 
@@ -180,30 +215,61 @@ def config4():
     code = nr_code(z=384, bg=1)
     enc = jax.jit(triangular_encode_fn(code))
     rng = np.random.default_rng(0)
-    batch = 256
+    batch = 512
+    group = 4  # batches per timed dispatch (RPC-floor amortization)
     e = code.n - code.punctured_front  # full buffer, rv0
     u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
     cw = np.asarray(enc(jnp.asarray(u)))
     tx = np.asarray(rate_match_bits(code, jnp.asarray(cw), e)).astype(np.float32)
+    tx_dev = jax.device_put(jnp.asarray(1.0 - 2.0 * tx))
     dec = Decoder(
         code, DecoderConfig(schedule="layered", normalization=0.8, max_iters=30)
     )
+
+    def make_llr_fn(sigma):
+        @jax.jit
+        def make_llr(key):
+            noise = sigma * jax.random.normal(key, tx_dev.shape, jnp.float32)
+            return rate_match_llr(code, 2.0 * (tx_dev + noise) / (sigma * sigma), e)
+        return make_llr
+
+    @jax.jit
+    def run(llr_g):
+        def one(llr):
+            res = dec(llr)
+            return (jnp.sum(res.iterations),
+                    jnp.sum(jnp.where(res.converged, 1, 0)))
+        outs = jax.lax.map(one, llr_g)
+        return tuple(jnp.sum(o) for o in outs)
+
     sweep = [3.0, 4.0, 5.0, 6.0]
     rows = []
     for snr_db in sweep:
-        sigma = 10 ** (-snr_db / 20)
-        llrs = [
-            jax.device_put(rate_match_llr(code, jnp.asarray(
-                2.0 * ((1.0 - 2.0 * tx) + rng.normal(0, sigma, tx.shape).astype(np.float32)) / sigma**2
-            ), e))
-            for _ in range(2)
+        make_llr = make_llr_fn(10 ** (-snr_db / 20))
+        groups = [
+            jnp.stack([make_llr(jax.random.PRNGKey(17 * gi + i))
+                       for i in range(group)])
+            for gi in range(3)
         ]
-        mbits, res, dt = _throughput(dec, llrs, code.k, batch)
-        conv = np.asarray(res.converged)
+        jax.block_until_ready(groups)
+        out = run(groups[0])
+        jax.block_until_ready(out)  # compile + warm
+        times = []
+        for g in groups:
+            t0 = time.perf_counter()
+            out = run(g)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2]
+        frames = group * batch
+        iters_sum, conv_sum = (int(x) for x in out)
         rows.append({
-            "snr_db": snr_db, "throughput_mbits": round(mbits, 3),
-            "conv_rate": round(float(conv.mean()), 4),
-            "mean_iters": round(float(np.asarray(res.iterations).mean()), 2),
+            "snr_db": snr_db,
+            "throughput_mbits": round(frames * code.k / dt / 1e6, 3),
+            "dispatch_ms": round(dt * 1e3, 3),
+            "frames_per_dispatch": frames,
+            "conv_rate": round(conv_sum / frames, 4),
+            "mean_iters": round(iters_sum / frames, 2),
         })
     _emit({
         "config": 4, "name": "nr_bg1_z384_rate_matched_sweep",

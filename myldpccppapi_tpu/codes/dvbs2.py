@@ -443,22 +443,27 @@ def ira_encode_numpy(code, u: np.ndarray) -> np.ndarray:
     z = code.z
     q = code.m_b
     kb = code.k // z
-    flat = u.reshape(-1, code.k)
+    flat = np.ascontiguousarray(u.reshape(-1, code.k) & 1, dtype=np.uint8)
     b = flat.shape[0]
-    # lam_int[l, u_pos] = XOR over info circulants of layer l
-    br, bc, sh = code.blocks
-    lam = np.zeros((b, q, z), dtype=np.int64)
     ub = flat.reshape(b, kb, z)
+    # lam_int[l, u_pos] = XOR over info circulants of layer l; contiguous
+    # uint8 per-layer buffers (a strided in-place XOR on a [b, q, z] slab
+    # is ~50x slower in numpy)
+    br, bc, sh = code.blocks
+    lams = [np.zeros((b, z), np.uint8) for _ in range(q)]
     for e in range(len(br)):
         l, g, s = int(br[e]), int(bc[e]), int(sh[e])
         if g >= kb:
             continue  # accumulator blocks are not info contributions
-        lam[:, l, :] ^= np.roll(ub[:, g, :], -s, axis=-1)
+        lams[l] ^= np.roll(ub[:, g, :], -s, axis=-1)
+    lam = np.stack(lams, axis=1)  # [b, q, z]
     # standard row order: i = u_pos * q + l  ->  transpose
-    lam_std = lam.transpose(0, 2, 1).reshape(b, q * z)
-    p_std = np.bitwise_xor.accumulate(lam_std & 1, axis=-1)
-    p_int = p_std.reshape(b, z, q).transpose(0, 2, 1).reshape(b, q * z)
-    out = np.concatenate([flat & 1, p_int], axis=-1).astype(u.dtype)
+    lam_std = np.ascontiguousarray(lam.transpose(0, 2, 1)).reshape(b, q * z)
+    p_std = np.bitwise_xor.accumulate(lam_std, axis=-1)
+    p_int = np.ascontiguousarray(
+        p_std.reshape(b, z, q).transpose(0, 2, 1)
+    ).reshape(b, q * z)
+    out = np.concatenate([flat, p_int], axis=-1).astype(u.dtype)
     return out.reshape(*u.shape[:-1], code.n)
 
 
