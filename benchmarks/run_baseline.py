@@ -91,6 +91,10 @@ def config1():
         "undetected_errors": undetected,
         "mean_iters": round(float(np.asarray(res.iterations).mean()), 2),
         "impl": dec.implementation,
+        # a single 64-frame dispatch is dominated by the dev tunnel's fixed
+        # ~30 ms RPC floor; this number measures the floor, not the chip
+        # (configs 2-4 amortize it with grouped dispatch; see BENCH_NOTES.md)
+        "floor_bound": dt * 1e3 < 45.0,
     })
 
 
@@ -216,7 +220,9 @@ def config4():
     enc = jax.jit(triangular_encode_fn(code))
     rng = np.random.default_rng(0)
     batch = 512
-    group = 4  # batches per timed dispatch (RPC-floor amortization)
+    group = 16  # batches per timed dispatch (RPC-floor amortization: the
+                # zlane decode is ~2 ms/batch at 2 iterations, so small
+                # groups measure the ~30 ms tunnel floor, not the chip)
     e = code.n - code.punctured_front  # full buffer, rv0
     u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
     cw = np.asarray(enc(jnp.asarray(u)))

@@ -105,6 +105,7 @@ def cmd_waterfall(args) -> int:
         schedule=args.schedule,
         max_iters=args.max_iters,
         normalization=args.normalization,
+        msg_dtype=getattr(args, "msg_dtype", "float32"),
     )
     snr_grid = _parse_snr_grid(args.snr)
 
@@ -228,6 +229,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["layered", "flooding"])
     w.add_argument("--max-iters", type=int, default=40)
     w.add_argument("--normalization", type=float, default=1.0)
+    w.add_argument("--msg-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="decoder message precision (bfloat16 halves VMEM)")
     w.add_argument("--target-errors", type=int, default=100)
     w.add_argument("--max-frames", type=int, default=1_000_000)
     w.add_argument("--seed", type=int, default=0)

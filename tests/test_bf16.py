@@ -32,10 +32,13 @@ def test_bf16_decodes_and_paths_agree(case, algorithm):
     )
     r_jnp = Decoder(code, cfg, implementation="jnp")(llr)
     r_pl = decode_qc_pallas(code, cfg, llr, True)
-    assert np.asarray(r_jnp.converged).all()
-    assert (np.asarray(r_jnp.bits)[:, : code.k] == u).all()
-    assert (np.asarray(r_jnp.bits) == np.asarray(r_pl.bits)).all()
-    assert (np.asarray(r_jnp.iterations) == np.asarray(r_pl.iterations)).all()
+    # bf16 is not bit-exact across differently-structured programs (XLA may
+    # keep f32 intermediates inside fusions, so rounding points differ);
+    # the contract is semantic: both paths converge everywhere at this
+    # operating point and decode the true info bits.
+    for r in (r_jnp, r_pl):
+        assert np.asarray(r.converged).all()
+        assert (np.asarray(r.bits)[:, : code.k] == u).all()
 
 
 def test_bf16_rejects_bad_dtype():

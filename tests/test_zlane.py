@@ -140,3 +140,32 @@ def test_zlane_early_exit_latching():
     if conv.any():
         syn = code.syndrome(np.asarray(res.bits)[conv])
         assert not syn.any()
+
+
+def test_zlane_bf16_semantics():
+    """bf16 message storage (16-codeword sublane tile).
+
+    bf16 is NOT bit-exact across differently-structured programs (XLA may
+    keep f32 intermediates inside fusions, so rounding points differ), so
+    the contract is semantic: every frame converges at this operating
+    point, converged frames decode to the true codeword in both paths, and
+    the conv flag is consistent with the syndrome.
+    """
+    from myldpccppapi_tpu.codes.dvbs2 import dvbs2_ira_qc, ira_encode_numpy
+
+    code = dvbs2_ira_qc(16200, "8/9")
+    rng = np.random.default_rng(3)
+    u = rng.integers(0, 2, size=(16, code.k), dtype=np.uint8)
+    c = ira_encode_numpy(code, u)
+    sigma = 10 ** (-6.5 / 20)
+    y = (1.0 - 2.0 * c.astype(np.float32)) + rng.normal(
+        0, sigma, c.shape
+    ).astype(np.float32)
+    llr = jnp.asarray(2.0 * y / sigma**2)
+    cfg = DecoderConfig(schedule="layered", normalization=0.8,
+                        max_iters=25, msg_dtype="bfloat16")
+    ref = decode_qc(code, cfg, llr)
+    res = decode_qc_zlane(code, cfg, llr, True)
+    for r in (ref, res):
+        assert np.asarray(r.converged).all()
+        assert (np.asarray(r.bits)[:, : code.k] == u).all()
