@@ -183,10 +183,17 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int, dtype):
         )
         cp.start()
         cp.wait()
+        # All tile math (incl. rolls) runs in f32: Mosaic has no sub-32-bit
+        # lane rotate ("Rotate with non-32-bit data"), and the VPU is
+        # f32-native anyway — bf16 is a STORAGE format here (halves VMEM,
+        # doubling the codeword tile), converted at the register boundary.
+        f32 = jnp.float32
         for j in range(n_b):
             a = align0.get(j, 0)
             if a:
-                p_scr[j] = _rel_roll(p_scr[j], a, z, zp)
+                p_scr[j] = _rel_roll(
+                    p_scr[j].astype(f32), a, z, zp
+                ).astype(dtype)
         r_scr[:] = jnp.zeros_like(r_scr)
         done_scr[:] = jnp.zeros_like(done_scr)
         iters_ref[:] = jnp.zeros_like(iters_ref)
@@ -194,32 +201,35 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int, dtype):
         real_lane = jax.lax.broadcasted_iota(jnp.int32, (bt, zp), 1) < z
 
         def sweep():
-            live = (1.0 - done_scr[:]).astype(dtype)  # [bt, 1] freeze mask
+            live = 1.0 - done_scr[:]  # [bt, 1] freeze mask, f32
             for groups in layers:
                 qs = []
                 xs = {}
                 for (j, group) in groups:
-                    x = p_scr[j]
+                    x = p_scr[j].astype(f32)
                     for (e, s, rel, mask) in group:
                         x = _rel_roll(x, rel, z, zp)
-                        q = x - r_scr[e]
+                        q = x - r_scr[e].astype(f32)
                         if mask is not None:
                             q = jnp.where(mconst(mask), q, _Q_INF)
                         qs.append(q)
                     xs[j] = x
-                rn = _check_update_rows(qs, cfg)
+                # round messages to the storage dtype BEFORE the delta so the
+                # accumulated posterior stays exactly consistent with the
+                # stored r (the jnp bf16 path rounds at the same point)
+                rn = [x.astype(dtype) for x in _check_update_rows(qs, cfg)]
                 idx = 0
                 for (j, group) in groups:
                     y = xs[j]
                     s_last = group[-1][1]
                     for (e, s, rel, mask) in group:
-                        delta = rn[idx] - r_scr[e]
+                        delta = rn[idx].astype(f32) - r_scr[e].astype(f32)
                         if mask is not None:
                             delta = jnp.where(mconst(mask), delta, 0.0)
                         y = y + _rel_roll(delta * live, (s_last - s) % z, z, zp)
                         r_scr[e] = rn[idx]
                         idx += 1
-                    p_scr[j] = y
+                    p_scr[j] = y.astype(dtype)
 
         def syndrome():
             bad = jnp.zeros((bt, zp), jnp.int32)
@@ -227,8 +237,7 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int, dtype):
                 par = jnp.zeros((bt, zp), jnp.int32)
                 for (j, rel, mask) in entries:
                     bit = (
-                        _rel_roll(p_scr[j], rel, z, zp).astype(jnp.float32)
-                        <= 0.0
+                        _rel_roll(p_scr[j].astype(f32), rel, z, zp) <= 0.0
                     ).astype(jnp.int32)
                     if mask is not None:
                         bit = jnp.where(mconst(mask), bit, 0)
@@ -263,8 +272,9 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int, dtype):
         # final hard decisions, rolled back to canonical column alignment
         for j in range(n_b):
             a = align0.get(j, 0)
-            c = _rel_roll(p_scr[j], (z - a) % z, z, zp) if a else p_scr[j]
-            bits_ref[j] = (c.astype(jnp.float32) <= 0.0).astype(jnp.int8)
+            p32 = p_scr[j].astype(f32)
+            c = _rel_roll(p32, (z - a) % z, z, zp) if a else p32
+            bits_ref[j] = (c <= 0.0).astype(jnp.int8)
 
     return kernel
 
