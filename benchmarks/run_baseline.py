@@ -98,6 +98,73 @@ def config1():
     })
 
 
+def config1g():
+    """Config 1 operating point, grouped dispatch: 64 batches of 64 frames
+    per timed call, fresh on-device noise per batch, scalar counters out.
+
+    The single-batch config-1 row measures the dev tunnel's fixed ~30 ms
+    RPC floor, not the chip (64 frames of n=648 decode in well under 1 ms);
+    this grouped variant amortizes the floor exactly like configs 2-4 so
+    the chip's own throughput at the config-1 operating point is on record.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from myldpccppapi_tpu import Decoder, DecoderConfig, Encoder
+    from myldpccppapi_tpu.codes import regular
+    from myldpccppapi_tpu.ops.channel import transmit
+
+    code = regular(648)
+    enc = Encoder(code)
+    rng = np.random.default_rng(0)
+    batch, group = 64, 64
+    u = rng.integers(0, 2, size=(batch, enc.k), dtype=np.uint8)
+    cw = jnp.asarray(np.asarray(enc(jnp.asarray(u))))
+    u_dev = jnp.asarray(u, jnp.int8)
+    pos = jnp.asarray(code.info_positions)
+    dec = Decoder(code, DecoderConfig(algorithm="sum-product", schedule="flooding"))
+
+    @jax.jit
+    def run(key):
+        def body(carry, k):
+            llr = transmit(k, cw, snr_db=2.0)[0]
+            res = dec(llr)
+            ferr = (res.bits[:, pos].astype(jnp.int8) != u_dev).any(axis=1)
+            it, cv, fe, ue = carry
+            return (
+                it + jnp.sum(res.iterations),
+                cv + jnp.sum(jnp.where(res.converged, 1, 0)),
+                fe + jnp.sum(jnp.where(ferr, 1, 0)),
+                ue + jnp.sum(jnp.where(ferr & res.converged, 1, 0)),
+            ), None
+        zero = jnp.zeros((), jnp.int32)
+        out, _ = jax.lax.scan(body, (zero, zero, zero, zero),
+                              jax.random.split(key, group))
+        return out
+
+    out = run(jax.random.PRNGKey(100))  # compile + warm (never re-timed)
+    jax.block_until_ready(out)
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = run(jax.random.PRNGKey(i))
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    frames = batch * group
+    it, cv, fe, ue = (int(x) for x in out)
+    _emit({
+        "config": "1g", "name": "regular36_n648_sp_b64_2dB_grouped",
+        "throughput_mbits": round(frames * code.k_info / dt / 1e6, 3),
+        "dispatch_ms": round(dt * 1e3, 3), "frames_per_dispatch": frames,
+        "batches_per_dispatch": group,
+        "conv_rate": round(cv / frames, 4), "fer": round(fe / frames, 4),
+        "undetected_errors": ue,
+        "mean_iters": round(it / frames, 2),
+        "impl": dec.implementation,
+    })
+
+
 def config2():
     """802.11n n=1944 rate-5/6, normalized min-sum + early exit, batch 4096."""
     import jax
@@ -346,8 +413,9 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
-    wanted = [int(a) for a in args] or [1, 2, 3, 4, 5]
-    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    fns = {"1": config1, "1g": config1g, "2": config2, "3": config3,
+           "4": config4, "5": config5}
+    wanted = args or ["1", "1g", "2", "3", "4", "5"]
     for c in wanted:
         fns[c]()
 
