@@ -199,16 +199,27 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int, dtype):
         iters_ref[:] = jnp.zeros_like(iters_ref)
 
         real_lane = jax.lax.broadcasted_iota(jnp.int32, (bt, zp), 1) < z
+        lazy = cfg.syndrome_mode == "lazy"
 
         def sweep():
             live = 1.0 - done_scr[:]  # [bt, 1] freeze mask, f32
+            # lazy mode: on-the-fly convergence pre-check — the sign of the
+            # row-aligned posterior each edge reads anyway, folded per layer
+            # (classic TDMP on-the-fly syndrome; zero extra rolls)
+            pre_bad = jnp.zeros((bt, zp), jnp.int32)
             for groups in layers:
+                par = jnp.zeros((bt, zp), jnp.int32)
                 qs = []
                 xs = {}
                 for (j, group) in groups:
                     x = p_scr[j].astype(f32)
                     for (e, s, rel, mask) in group:
                         x = _rel_roll(x, rel, z, zp)
+                        if lazy:
+                            bit = (x <= 0.0).astype(jnp.int32)
+                            if mask is not None:
+                                bit = jnp.where(mconst(mask), bit, 0)
+                            par = par + bit
                         q = x - r_scr[e].astype(f32)
                         if mask is not None:
                             q = jnp.where(mconst(mask), q, _Q_INF)
@@ -230,6 +241,9 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int, dtype):
                         r_scr[e] = rn[idx]
                         idx += 1
                     p_scr[j] = y.astype(dtype)
+                if lazy:
+                    pre_bad = pre_bad | (par & 1)
+            return pre_bad
 
         def syndrome():
             bad = jnp.zeros((bt, zp), jnp.int32)
@@ -248,14 +262,26 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int, dtype):
 
         def body(carry):
             t, _ = carry
-            sweep()
-            fail = syndrome()          # [bt, 1]: 1.0 = some check fails
+            pre_bad = sweep()
             done = done_scr[:]
             d32 = done.astype(jnp.int32)
             iters_ref[:] = iters_ref[:] * d32 + (t + 1) * (1 - d32)
-            done = jnp.maximum(done, 1.0 - fail)
-            done_scr[:] = done
-            return t + 1, jnp.sum(done)
+            if lazy:
+                pre_bad = jnp.where(real_lane, pre_bad, 0)
+                pre_fail = jnp.max(pre_bad, axis=1, keepdims=True)
+                cand = (1.0 - done) * (1.0 - pre_fail.astype(jnp.float32))
+
+                # run the expensive exact pass only when some live frame's
+                # on-the-fly check passed; done is latched ONLY by the
+                # exact syndrome, preserving converged => valid codeword
+                @pl.when(jnp.max(cand) > 0.0)
+                def _():
+                    fail = syndrome()
+                    done_scr[:] = jnp.maximum(done_scr[:], 1.0 - fail)
+            else:
+                fail = syndrome()      # [bt, 1]: 1.0 = some check fails
+                done_scr[:] = jnp.maximum(done, 1.0 - fail)
+            return t + 1, jnp.sum(done_scr[:])
 
         def cond(carry):
             t, n_done = carry

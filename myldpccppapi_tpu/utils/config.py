@@ -57,6 +57,19 @@ class DecoderConfig:
     #: VMEM working set and bandwidth of the decode; ~0.05 dB BER cost
     #: typical for min-sum, which only compares magnitudes and adds).
     msg_dtype: str = "float32"
+    #: Convergence-check strategy inside the fused kernels.
+    #: "exact": full syndrome pass (per-edge circulant rolls of the
+    #: posterior) after every sweep — iteration counts and results are
+    #: bit-identical to the jnp path.  "lazy": a roll-free on-the-fly check
+    #: accumulated during the sweep (sign of the row-aligned posterior each
+    #: edge already reads) gates the exact pass, which then runs only on
+    #: the rare iterations where some live frame looks converged.  A frame
+    #: is marked done ONLY by the exact pass, so converged => valid
+    #: codeword exactly as in "exact" mode; detection can land one sweep
+    #: later than "exact" (the on-the-fly check sees mid-sweep signs), so
+    #: iteration counts are not pinned to the jnp path.  ~10-15% fewer
+    #: VPU ops per iteration on long codes; honored by pallas_zlane.
+    syndrome_mode: str = "exact"
 
     def __post_init__(self):
         if self.algorithm not in ("min-sum", "sum-product"):
@@ -70,6 +83,8 @@ class DecoderConfig:
             raise ValueError(f"unknown implementation {self.implementation!r}")
         if self.msg_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown msg_dtype {self.msg_dtype!r}")
+        if self.syndrome_mode not in ("exact", "lazy"):
+            raise ValueError(f"unknown syndrome_mode {self.syndrome_mode!r}")
 
 
 @dataclasses.dataclass(frozen=True)

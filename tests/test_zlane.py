@@ -142,6 +142,40 @@ def test_zlane_early_exit_latching():
         assert not syn.any()
 
 
+def test_zlane_lazy_syndrome():
+    """Lazy syndrome mode: the exact pass runs only when the on-the-fly
+    pre-check fires, so iteration counts may trail "exact" by one sweep —
+    but done is still latched only by the exact syndrome, so converged
+    frames must hold valid codewords, and at a benign operating point both
+    modes must converge every frame to the same (true) codeword."""
+    from myldpccppapi_tpu.codes.dvbs2 import dvbs2_ira_qc, ira_encode_numpy
+
+    code = dvbs2_ira_qc(16200, "8/9")
+    rng = np.random.default_rng(4)
+    u = rng.integers(0, 2, size=(8, code.k), dtype=np.uint8)
+    c = ira_encode_numpy(code, u)
+    sigma = 10 ** (-6.5 / 20)
+    y = (1.0 - 2.0 * c.astype(np.float32)) + rng.normal(
+        0, sigma, c.shape
+    ).astype(np.float32)
+    llr = jnp.asarray(2.0 * y / sigma**2)
+    base = DecoderConfig(schedule="layered", normalization=0.85, max_iters=25)
+    import dataclasses
+
+    res_e = decode_qc_zlane(code, base, llr, True)
+    res_l = decode_qc_zlane(
+        code, dataclasses.replace(base, syndrome_mode="lazy"), llr, True
+    )
+    for r in (res_e, res_l):
+        assert np.asarray(r.converged).all()
+        assert (np.asarray(r.bits)[:, : code.k] == u).all()
+        assert not code.syndrome(np.asarray(r.bits)).any()
+    # detection may only trail the exact mode, never lead it
+    assert (
+        np.asarray(res_l.iterations) >= np.asarray(res_e.iterations)
+    ).all()
+
+
 def test_zlane_bf16_semantics():
     """bf16 message storage (16-codeword sublane tile).
 
