@@ -58,6 +58,10 @@ def _make_code(args):
         from .codes import dvbs2
 
         return dvbs2(args.n, args.rate)
+    if args.family == "dvbs2_qc":
+        from .codes.dvbs2 import dvbs2_ira_qc
+
+        return dvbs2_ira_qc(args.n, args.rate)
     raise SystemExit(f"unknown family {args.family}")
 
 
@@ -116,6 +120,12 @@ def cmd_waterfall(args) -> int:
     if args.family == "dvbs2":
         encode_fn = code.encode_fn()
         decode_fn = make_decode_fn(code, cfg)
+    elif args.family == "dvbs2_qc":
+        # QC (z=360) EN 302 307 form: O(n) accumulator encoder + the
+        # implementation-dispatched decoder (z-lane fused kernel on TPU)
+        from .codes.dvbs2 import ira_encode_fn
+
+        encode_fn = ira_encode_fn(code)
     elif args.family == "nr":
         from .codes.nr import triangular_encode_fn
 
@@ -216,7 +226,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     w = sub.add_parser("waterfall", help="BER/FER waterfall campaign")
     w.add_argument("--family", default="wimax",
-                   choices=["wimax", "wifi", "regular", "nr", "dvbs2"])
+                   choices=["wimax", "wifi", "regular", "nr", "dvbs2",
+                            "dvbs2_qc"])
     w.add_argument("--n", type=int, default=576)
     w.add_argument("--rate", default="1/2")
     w.add_argument("--z", type=int, default=384, help="NR lifting size")

@@ -247,9 +247,23 @@ class QCCode:
         return np.concatenate(rows_out), np.concatenate(cols_out)
 
     def syndrome(self, codeword_bits: np.ndarray) -> np.ndarray:
-        """H @ c mod 2 (numpy, for tests). codeword_bits: [..., n] 0/1."""
-        h = self.h_dense().astype(np.int64)
-        return (codeword_bits.astype(np.int64) @ h.T) % 2
+        """H @ c mod 2 (numpy, for tests). codeword_bits: [..., n] 0/1.
+
+        Computed block-sparse (one circulant gather + XOR per edge block,
+        O(edges * batch)); densifying H would need [m, n] storage — 2 GB
+        for DVB-S2 n=64800 — for the same result."""
+        bits = np.asarray(codeword_bits).astype(np.uint8) & 1
+        syn = np.zeros(bits.shape[:-1] + (self.m,), np.uint8)
+        z = self.z
+        br, bc, sh = self.blocks
+        masks = self.block_row_masks
+        r = np.arange(z)
+        for e in range(len(br)):
+            contrib = bits[..., bc[e] * z + (r + sh[e]) % z]
+            if masks[e] is not None:
+                contrib = contrib & masks[e]
+            syn[..., br[e] * z: (br[e] + 1) * z] ^= contrib
+        return syn
 
     def describe(self) -> str:
         return (

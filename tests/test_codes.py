@@ -140,3 +140,18 @@ def test_wifi_roundtrip_each_length():
         res = dec(llr)
         assert np.asarray(res.converged).all()
         assert (np.asarray(res.bits)[:, : code.k] == u).all()
+
+
+def test_qc_syndrome_matches_dense():
+    """Block-sparse syndrome == dense H @ c mod 2, including multi-edge
+    blocks and masked wrap rows (DVB-S2 short frame exercises both)."""
+    import numpy as np
+
+    from myldpccppapi_tpu.codes.dvbs2 import dvbs2_ira_qc
+    from myldpccppapi_tpu.codes.wimax import wimax
+
+    rng = np.random.default_rng(7)
+    for code in (wimax(576, "3/4B"), dvbs2_ira_qc(16200, "8/9")):
+        bits = rng.integers(0, 2, size=(3, code.n), dtype=np.uint8)
+        dense = (bits.astype(np.int64) @ code.h_dense().astype(np.int64).T) % 2
+        assert (code.syndrome(bits) == dense).all()

@@ -190,3 +190,37 @@ def test_ira_qc_decode_end_to_end(rng):
     res = decode_qc(code, cfg, llr)
     assert np.asarray(res.converged).all()
     assert (np.asarray(res.bits)[:, : code.k] == u).all()
+
+
+_ALL_RATES = [
+    (64800, r) for r in ("1/4", "1/3", "2/5", "1/2", "3/5", "2/3", "3/4",
+                         "4/5", "5/6", "8/9", "9/10")
+] + [
+    (16200, r) for r in ("1/3", "1/2", "2/3", "3/4", "4/5", "5/6", "8/9")
+]
+
+
+@pytest.mark.parametrize("n,rate", _ALL_RATES)
+def test_ira_qc_full_rate_grid(n, rate):
+    """Every (frame length, rate) the EN 302 307 family ships constructs,
+    has the exact IRA accumulator structure, and encodes valid codewords
+    with numpy/jax parity (structural check for the whole rate grid; BER
+    behaviour is covered by the e2e tests on representative rates)."""
+    from myldpccppapi_tpu.codes.dvbs2 import (
+        _SHORT_K_LDPC, dvbs2_ira_qc, ira_encode_fn, ira_encode_numpy,
+    )
+
+    code = dvbs2_ira_qc(n, rate)
+    num, den = map(int, rate.split("/"))
+    k = _SHORT_K_LDPC[rate] if n == 16200 else n * num // den
+    assert code.z == 360 and code.n == n and code.k == k
+    assert code.m_b == (n - k) // 360 and code.n_b == n // 360
+    # masked accumulator wrap: exactly one edge short of full circulants
+    assert code.num_edges == code.num_blocks * code.z - 1
+    rng_l = np.random.default_rng(hash((n, rate)) % 2**32)
+    u = rng_l.integers(0, 2, size=(2, k), dtype=np.uint8)
+    c = ira_encode_numpy(code, u)
+    assert not code.syndrome(c).any()
+    assert (c[:, :k] == u).all()  # systematic
+    c_j = np.asarray(jax.jit(ira_encode_fn(code))(jnp.asarray(u)))
+    assert (c_j == c).all()

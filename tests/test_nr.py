@@ -187,3 +187,30 @@ def test_rv_soft_combining():
     l2 = rate_match_llr(code, ones, e, rv=2)
     combined = l0 + l2
     assert (np.asarray(combined[0, code.punctured_front:]) == 2.0).all()
+
+
+@pytest.mark.parametrize("bg", [1, 2])
+@pytest.mark.parametrize("z", [16, 24, 20, 28, 36, 44, 52, 60])
+def test_nr_lifting_grid(bg, z):
+    """One lifting size from each of the eight TS 38.212 lifting sets, for
+    both base graphs: construction, shift reduction mod z, and triangular
+    encode validity (numpy/jax parity)."""
+    import numpy as np
+
+    from myldpccppapi_tpu.codes.nr import (
+        lifting_set_index, nr_code, triangular_encode_fn,
+        triangular_encode_numpy,
+    )
+
+    sets = {16: 0, 24: 1, 20: 2, 28: 3, 36: 4, 44: 5, 52: 6, 60: 7}
+    assert lifting_set_index(z) == sets[z]
+    code = nr_code(z=z, bg=bg)
+    _, _, sh = code.blocks
+    assert (np.asarray(sh) < z).all()
+    rng_l = np.random.default_rng(z * 10 + bg)
+    u = rng_l.integers(0, 2, size=(2, code.k), dtype=np.uint8)
+    c = triangular_encode_numpy(code, u)
+    assert not code.syndrome(c).any()
+    assert (c[:, : code.k] == u).all()
+    c_j = np.asarray(jax.jit(triangular_encode_fn(code))(jnp.asarray(u)))
+    assert (c_j == c).all()
