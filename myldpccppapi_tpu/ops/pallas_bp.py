@@ -125,13 +125,21 @@ def _check_update_rows(qs, cfg: DecoderConfig):
             m2 = jnp.minimum(m2, jnp.maximum(m1, a))
             m1 = jnp.minimum(m1, a)
             sgn = sgn * jnp.where(q < 0, -1.0, 1.0)
+        # offset/normalization applied to m1/m2 ONCE per row instead of per
+        # edge — bit-identical (mag is always one of the two, and
+        # c*where(p, m2, m1) == where(p, c*m2, c*m1) exactly) but saves one
+        # VPU op per edge on rows of any degree; the exclusion compare must
+        # use the RAW m1
+        m1_raw = m1
+        if cfg.offset:
+            m1 = jnp.maximum(m1 - cfg.offset, 0.0)
+            m2 = jnp.maximum(m2 - cfg.offset, 0.0)
+        if cfg.normalization != 1.0:
+            m1 = cfg.normalization * m1
+            m2 = cfg.normalization * m2
         out = []
         for q, a in zip(qs32, absq):
-            mag = jnp.where(a == m1, m2, m1)
-            if cfg.offset:
-                mag = jnp.maximum(mag - cfg.offset, 0.0)
-            if cfg.normalization != 1.0:
-                mag = cfg.normalization * mag
+            mag = jnp.where(a == m1_raw, m2, m1)
             # excluding-self sign: total sign product times own sign
             s_excl = sgn * jnp.where(q < 0, -1.0, 1.0)
             out.append((s_excl * mag).astype(dt))
