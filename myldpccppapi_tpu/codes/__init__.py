@@ -12,8 +12,13 @@ from .wifi import wifi
 from .regular import regular
 from .nr import nr_code
 from .dvbs2 import dvbs2, dvbs2_qc
+from .crc import crc_attach_fn, crc_check_fn, crc_matrix, crc_numpy
 
 __all__ = [
+    "crc_attach_fn",
+    "crc_check_fn",
+    "crc_matrix",
+    "crc_numpy",
     "dvbs2",
     "dvbs2_qc",
     "nr_code",
