@@ -70,19 +70,39 @@ def _pad_z(z: int) -> int:
     return -(-z // _LANE) * _LANE
 
 
-def _batch_tile(cfg: DecoderConfig) -> int:
-    # one sublane tile: f32 packs 8 sublanes, bf16 16
-    return 16 if cfg.msg_dtype == "bfloat16" else 8
+def _batch_tile(code: QCCode, cfg: DecoderConfig) -> int:
+    """Codeword sublane tile: f32 packs 8 sublanes; bf16 storage prefers a
+    16-codeword tile but falls back to 8 when the larger tile might blow
+    the scoped-VMEM limit.  The fall-back rule is pessimistic — the bf16
+    state must fit even charged at f32 width — because Mosaic's stack
+    allocation for the upcast temporaries of a deeply unrolled bf16 sweep
+    is far larger than the storage itself (measured: an 18.4 MB scoped-
+    vmem compile failure at bt=16 on DVB-S2 n=64800 in lazy mode whose
+    bf16 storage is only 10 MB)."""
+    if cfg.msg_dtype == "bfloat16":
+        if zlane_vmem_bytes(code, cfg, bt=16, itemsize=4) <= _VMEM_BUDGET:
+            return 16
+    return 8
 
 
-def zlane_vmem_bytes(code: QCCode, cfg: DecoderConfig) -> int:
-    """Kernel working-set estimate (posterior + messages + bits out x2)."""
+def zlane_vmem_bytes(code: QCCode, cfg: DecoderConfig, bt=None,
+                     itemsize=None) -> int:
+    """Kernel working-set estimate: posterior + messages (storage dtype) +
+    bits out x2 (int8, double-buffered by the pipeline) + the widest
+    layer's live f32 edge tiles (row-aligned q list and new check
+    messages, co-live before writeback)."""
     zp = _pad_z(code.z)
-    itemsize = 2 if cfg.msg_dtype == "bfloat16" else 4
-    bt = _batch_tile(cfg)
+    if itemsize is None:
+        itemsize = 2 if cfg.msg_dtype == "bfloat16" else 4
+    if bt is None:
+        bt = _batch_tile(code, cfg)
     state = (code.n_b + code.num_blocks) * bt * zp * itemsize
-    bits_out = 2 * code.n_b * bt * zp  # int8, double-buffered by the pipeline
-    return state + bits_out + 4096
+    bits_out = 2 * code.n_b * bt * zp
+    widest = int(np.diff(np.asarray(code.layer_ptr)).max())
+    stack = 2 * widest * bt * zp * 4
+    if cfg.syndrome_mode == "lazy":
+        stack += 2 * bt * zp * 4  # pre_bad/par i32 accumulators
+    return state + bits_out + stack + 4096
 
 
 def zlane_supported(code, cfg: DecoderConfig) -> bool:
@@ -317,7 +337,7 @@ def decode_qc_zlane(code: QCCode, cfg: DecoderConfig, llr: jax.Array,
     z, n_b = code.z, code.n_b
     zp = _pad_z(z)
     dtype = jnp.bfloat16 if cfg.msg_dtype == "bfloat16" else jnp.float32
-    bt = _batch_tile(cfg)
+    bt = _batch_tile(code, cfg)
     b = llr.shape[0]
     pad = (-b) % bt
     llr_p = jnp.pad(llr.astype(dtype), ((0, pad), (0, 0)),
