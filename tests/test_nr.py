@@ -214,3 +214,38 @@ def test_nr_lifting_grid(bg, z):
     assert (c[:, : code.k] == u).all()
     c_j = np.asarray(jax.jit(triangular_encode_fn(code))(jnp.asarray(u)))
     assert (c_j == c).all()
+
+
+def test_harq_rv_retransmission_e2e():
+    """Full HARQ flow: an rv0 transmission of half the circular buffer
+    fails at 2.5 dB; soft-combining the de-rate-matched LLRs of an rv2
+    retransmission (independent noise) recovers every frame — the
+    TS 38.212 incremental-redundancy contract end-to-end."""
+    import numpy as np
+
+    from myldpccppapi_tpu import Decoder, DecoderConfig
+    from myldpccppapi_tpu.codes.nr import (
+        nr_code, rate_match_bits, rate_match_llr, triangular_encode_fn,
+    )
+
+    code = nr_code(z=32, bg=1)
+    e = (code.n - code.punctured_front) // 2  # rate 2/3 over the buffer
+    rng = np.random.default_rng(9)
+    u = jnp.asarray(rng.integers(0, 2, size=(16, code.k), dtype=np.uint8))
+    cw = jax.jit(triangular_encode_fn(code))(u)
+    dec = Decoder(code, DecoderConfig(schedule="layered", normalization=0.8,
+                                      max_iters=30))
+    sigma = 10 ** (-2.5 / 20)
+    llrs = {}
+    for rv in (0, 2):
+        tx = rate_match_bits(code, cw, e, rv=rv)
+        sym = 1.0 - 2.0 * tx.astype(jnp.float32)
+        y = sym + sigma * jax.random.normal(
+            jax.random.PRNGKey(100 + rv), sym.shape
+        )
+        llrs[rv] = rate_match_llr(code, 2.0 * y / sigma**2, e, rv=rv)
+    r0 = dec(llrs[0])
+    assert not np.asarray(r0.converged).any()  # first transmission fails
+    rc = dec(llrs[0] + llrs[2])
+    assert np.asarray(rc.converged).all()
+    assert (np.asarray(rc.bits)[:, : code.k] == np.asarray(u)).all()
