@@ -257,7 +257,7 @@ def decode_qc_stream(code: QCCode, cfg: DecoderConfig, llr: jax.Array,
         jax.ShapeDtypeStruct((code.m_b, dmax, z, bp), jnp.float32),  # r ws
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    anys = pl.BlockSpec(memory_space=pltpu.ANY)
+    anys = pl.BlockSpec(memory_space=pl.ANY)
     lane_block = lambda i: (0, i)
     vout = pl.BlockSpec((1, bt), lane_block, memory_space=pltpu.VMEM)
     bits, conv, iters, texec, _, _ = pl.pallas_call(
