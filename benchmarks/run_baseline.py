@@ -40,17 +40,18 @@ def _throughput(decode, llr_devs, k_info, batch):
     the TPU-tunnel execution path caches results for repeated identical
     requests, so every timed call must see fresh data.
     """
-    import jax
-
     if not isinstance(llr_devs, (list, tuple)):
         llr_devs = [llr_devs]
     res = decode(llr_devs[0])  # compile + warm
-    jax.block_until_ready(res.bits)
+    np.asarray(res.bits)
     times = []
     for llr in llr_devs:
+        # the sync point is a real host readback: block_until_ready
+        # under-blocks through the dev tunnel (BENCH_NOTES round-2
+        # methodology revision)
         t0 = time.perf_counter()
         res = decode(llr)
-        jax.block_until_ready(res.bits)
+        np.asarray(res.bits)
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
     return batch * k_info / dt / 1e6, res, dt
@@ -209,7 +210,10 @@ def config2():
         return jnp.stack([jnp.sum(res.iterations),
                           jnp.sum(jnp.where(res.converged, 1, 0)), berr])
 
-    n_pipe, rounds = 8, 3
+    # depth sweep (results.jsonl config "2p"): round_ms ~= 24.5 + N*1.19,
+    # so deep pipelines amortize the tunnel latency; N=64 reaches ~84% of
+    # the chip's asymptotic per-batch rate
+    n_pipe, rounds = 64, 3
     llrs = [make_llr(jax.random.PRNGKey(1000 + i))
             for i in range(n_pipe * rounds + 1)]
     jax.block_until_ready(llrs)
@@ -368,7 +372,7 @@ def config4():
             return rate_match_llr(code, 2.0 * (tx_sym + noise) / (sigma * sigma), e)
         return make_llr
 
-    n_pipe, rounds = 8, 3
+    n_pipe, rounds = 32, 3
     sweep = [3.0, 4.0, 5.0, 6.0]
     rows = []
     for snr_db in sweep:
