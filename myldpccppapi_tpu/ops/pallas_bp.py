@@ -119,12 +119,15 @@ def _check_update_rows(qs, cfg: DecoderConfig):
         m2 = jnp.full_like(qs32[0], _INF)
         sgn = jnp.ones_like(qs32[0])
         absq = []
+        sgns = []
         for q in qs32:
             a = jnp.abs(q)
             absq.append(a)
             m2 = jnp.minimum(m2, jnp.maximum(m1, a))
             m1 = jnp.minimum(m1, a)
-            sgn = sgn * jnp.where(q < 0, -1.0, 1.0)
+            s = jnp.where(q < 0, -1.0, 1.0)
+            sgns.append(s)
+            sgn = sgn * s
         # offset/normalization applied to m1/m2 ONCE per row instead of per
         # edge — bit-identical (mag is always one of the two, and
         # c*where(p, m2, m1) == where(p, c*m2, c*m1) exactly) but saves one
@@ -138,11 +141,11 @@ def _check_update_rows(qs, cfg: DecoderConfig):
             m1 = cfg.normalization * m1
             m2 = cfg.normalization * m2
         out = []
-        for q, a in zip(qs32, absq):
+        for s, a in zip(sgns, absq):
             mag = jnp.where(a == m1_raw, m2, m1)
             # excluding-self sign: total sign product times own sign
-            s_excl = sgn * jnp.where(q < 0, -1.0, 1.0)
-            out.append((s_excl * mag).astype(dt))
+            # (reusing the forward pass's per-edge sign — identical value)
+            out.append((sgn * s * mag).astype(dt))
         return out
     # sum-product (log domain) — phi needs f32 precision and comparisons
     # stay in f32 for Mosaic layout robustness; results cast back to dt
