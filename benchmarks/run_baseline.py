@@ -244,9 +244,10 @@ def config2():
     })
 
 
-def config3():
-    """DVB-S2 n=64800 rate-1/2 (EN 302 307 IRA structure), layered min-sum,
-    batch 1024 — the long-code memory-layout stress.
+def config3(n=64800, batch=1024, snr_db=1.4, n_pipe=8, label=3):
+    """DVB-S2 rate-1/2 (EN 302 307 IRA structure), layered min-sum —
+    n=64800 batch 1024 is the long-code memory-layout stress (config 3);
+    n=16200 is the short-FECFRAME variant (config "3s").
 
     Methodology (BENCH_NOTES "pipelined dispatch"): N=8 independent
     1024-frame decode dispatches with DISTINCT pre-staged on-device LLR
@@ -264,12 +265,10 @@ def config3():
     from myldpccppapi_tpu import Decoder, DecoderConfig
     from myldpccppapi_tpu.codes.dvbs2 import dvbs2_ira_qc, ira_encode_numpy
 
-    code = dvbs2_ira_qc(64800, "1/2")
+    code = dvbs2_ira_qc(n, "1/2")
     rng = np.random.default_rng(0)
-    batch = 1024
     u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
     cw = ira_encode_numpy(code, u)
-    snr_db = 1.4
     sigma = 10 ** (-snr_db / 20)
     sym_dev = jax.device_put(jnp.asarray(1.0 - 2.0 * cw.astype(np.float32)))
     u_dev = jax.device_put(jnp.asarray(u, jnp.int8))
@@ -299,7 +298,7 @@ def config3():
         return jnp.stack([jnp.sum(res.iterations),
                           jnp.sum(jnp.where(res.converged, 1, 0)), berr])
 
-    n_pipe, rounds = 8, 3
+    rounds = 3
     # every timed dispatch sees a distinct noise realization (the tunnel
     # caches results of identical requests)
     llrs = [make_llr(jax.random.PRNGKey(1000 + i))
@@ -321,7 +320,7 @@ def config3():
     iters_sum, conv_sum, berr = (int(x) for x in agg)
     mbits = frames * code.k / dt / 1e6
     _emit({
-        "config": 3, "name": "dvbs2ira_64800_r12_layered_b1024",
+        "config": label, "name": f"dvbs2ira_{n}_r12_layered_b{batch}",
         "throughput_mbits": round(mbits, 3),
         "round_ms": round(dt * 1e3, 3), "frames_per_round": frames,
         "pipelined_dispatches": n_pipe,
@@ -331,6 +330,14 @@ def config3():
         "bit_errors": berr,
         "impl": dec.implementation,
     })
+
+
+def config3s():
+    """DVB-S2 short FECFRAME n=16200 r1/2: same methodology, 4x the frames
+    per dispatch (state is 1/4 of n=64800), knee per the measured waterfall
+    (benchmarks/waterfall_dvbs2_16200_r12_tpu.csv: FER 1.2e-3 @1.75 dB,
+    <4e-6 @2.0)."""
+    config3(n=16200, batch=4096, snr_db=2.0, n_pipe=8, label="3s")
 
 
 def config4():
@@ -471,7 +478,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
     fns = {"1": config1, "1g": config1g, "2": config2, "3": config3,
-           "4": config4, "5": config5}
+           "3s": config3s, "4": config4, "5": config5}
     wanted = args or ["1", "1g", "2", "3", "4", "5"]
     for c in wanted:
         fns[c]()
