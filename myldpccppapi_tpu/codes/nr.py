@@ -103,7 +103,41 @@ def parse_bg_table(text: str) -> np.ndarray:
     return table
 
 
-def nr_base_graph(bg: int = 1, zmax: int = NR_ZMAX) -> np.ndarray:
+def _fill_girth6_shifts(base, rng, zmax) -> None:
+    """Assign shifts to the ``-2``-marked cells of ``base`` (in place) so
+    the lifted graph at lifting size ``zmax`` has no 4-cycles (girth >= 6).
+
+    QC 4-cycle condition: block rows i1, i2 sharing columns j1, j2 form z
+    4-cycles iff ``s[i1,j1] - s[i1,j2] + s[i2,j2] - s[i2,j1] == 0 (mod z)``.
+    Filling cell (i, j) therefore forbids, for every other row i2 with an
+    assigned entry in column j and every shared assigned column j2, the
+    single value ``s[i,j2] - s[i2,j2] + s[i2,j] (mod zmax)``.  Row degrees
+    here are tiny relative to zmax, so the forbidden set never exhausts
+    [0, zmax); an assert guards the invariant rather than falling back
+    silently.  The guarantee is exact at z == zmax (the design lifting);
+    smaller z reduce shifts mod z and may reintroduce short cycles (as any
+    fixed table must).
+    """
+    m_b, n_b = base.shape
+    for i in range(m_b):
+        for j in range(n_b):
+            if base[i, j] != -2:
+                continue
+            forbidden = set()
+            for i2 in range(m_b):
+                if i2 == i or base[i2, j] < 0:
+                    continue
+                for j2 in range(n_b):
+                    if j2 != j and base[i, j2] >= 0 and base[i2, j2] >= 0:
+                        forbidden.add(
+                            (base[i, j2] - base[i2, j2] + base[i2, j]) % zmax
+                        )
+            allowed = [s for s in range(zmax) if s not in forbidden]
+            assert allowed, "girth-6 fill exhausted the shift range"
+            base[i, j] = int(rng.choice(allowed))
+
+
+def nr_base_graph(bg: int = 1, zmax: int = NR_ZMAX, seed: int = 3) -> np.ndarray:
     """Synthetic BG1/BG2-structured base matrix with shifts in [0, zmax).
 
     Structure (matching TS 38.212's shape, not its values):
@@ -113,13 +147,22 @@ def nr_base_graph(bg: int = 1, zmax: int = NR_ZMAX) -> np.ndarray:
     * cols k_b+4..: one identity column per extension row,
     * core rows are dense over the systematic columns; extension rows have
       degree ~4 plus their identity bit.
+
+    Shifts are chosen 4-cycle-free at the design lifting ``zmax``
+    (:func:`_fill_girth6_shifts`) — the published tables are also
+    girth-optimized, and an unconstrained random table costs a measurable
+    error-floor penalty (BENCH_NOTES round-2 NR waterfall).
     """
     m_b, n_b, k_b = _BG_SHAPES[bg]
-    rng = np.random.default_rng(38212 + bg)
+    # default seed selected from four girth-6 candidates by MEASURED knee
+    # and floor FER on chip (benchmarks/nr_table_select.py; results.jsonl
+    # "nr_table_select"): candidates span 3 orders of magnitude in floor
+    # FER even at equal girth, exactly why published tables are finalized
+    # by simulation.  seed 3: knee 5.6e-3 @-1.25 dB, tail 4.6e-5 @-0.75 dB
+    # (the pre-girth random table measured 6.3e-2 / 2.2e-4).
+    rng = np.random.default_rng(38212 + bg + 7919 * seed)
+    # -1 = zero block, -2 = present (shift chosen girth-aware below)
     base = np.full((m_b, n_b), -1, dtype=np.int32)
-
-    def shift():
-        return int(rng.integers(0, zmax))
 
     # core rows: dense over systematic columns
     for i in range(4):
@@ -127,7 +170,7 @@ def nr_base_graph(bg: int = 1, zmax: int = NR_ZMAX) -> np.ndarray:
             rng.choice(np.arange(2, k_b), size=max(k_b - 5, 2), replace=False)
         )
         for j in cols:
-            base[i, j] = shift()
+            base[i, j] = -2
     # core parity staircase (shift 0 diagonals -> trivially invertible)
     for i in range(4):
         base[i, k_b + i] = 0
@@ -140,8 +183,9 @@ def nr_base_graph(bg: int = 1, zmax: int = NR_ZMAX) -> np.ndarray:
         if rng.random() < 0.4:
             cols.add(int(k_b + rng.integers(0, 4)))
         for j in cols:
-            base[r, j] = shift()
+            base[r, j] = -2
         base[r, k_b + 4 + (r - 4)] = 0  # identity extension column
+    _fill_girth6_shifts(base, rng, zmax)
     return base
 
 

@@ -249,3 +249,22 @@ def test_harq_rv_retransmission_e2e():
     rc = dec(llrs[0] + llrs[2])
     assert np.asarray(rc.converged).all()
     assert (np.asarray(rc.bits)[:, : code.k] == np.asarray(u)).all()
+
+
+def test_synthetic_base_graph_girth6_at_design_lifting():
+    """The synthetic tables must be 4-cycle-free at the design lifting
+    (zmax=384): the published 38.212 tables are girth-optimized, and an
+    unconstrained random table costs a measured error-floor penalty
+    (BENCH_NOTES round-2 NR waterfall)."""
+    import itertools
+
+    from myldpccppapi_tpu.codes.nr import NR_ZMAX, nr_base_graph
+
+    for bg in (1, 2):
+        base = nr_base_graph(bg)
+        for i1, i2 in itertools.combinations(range(base.shape[0]), 2):
+            share = np.nonzero((base[i1] >= 0) & (base[i2] >= 0))[0]
+            for j1, j2 in itertools.combinations(share.tolist(), 2):
+                delta = (base[i1, j1] - base[i1, j2]
+                         + base[i2, j2] - base[i2, j1]) % NR_ZMAX
+                assert delta != 0, (bg, i1, i2, j1, j2)
