@@ -334,9 +334,9 @@ def config3(n=64800, batch=1024, snr_db=1.4, n_pipe=8, label=3):
 
 def config3s():
     """DVB-S2 short FECFRAME n=16200 r1/2: same methodology, 4x the frames
-    per dispatch (state is 1/4 of n=64800), knee per the measured waterfall
-    (benchmarks/waterfall_dvbs2_16200_r12_tpu.csv: FER 1.2e-3 @1.75 dB,
-    <4e-6 @2.0)."""
+    per dispatch (state is 1/4 of n=64800), operating point per the
+    measured waterfall (benchmarks/waterfall_dvbs2_16200_r12_tpu.csv,
+    girth-6 table: FER 5.4e-3 @1.75 dB, <4e-6 @2.0)."""
     config3(n=16200, batch=4096, snr_db=2.0, n_pipe=8, label="3s")
 
 

@@ -20,6 +20,7 @@ DVB-S2 layered schedule.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import cached_property
 from typing import Sequence, Tuple
 
@@ -340,21 +341,70 @@ def parse_address_table(text: str) -> Tuple[Tuple[int, ...], ...]:
     return tuple(rows)
 
 
-def synthetic_address_table(n: int, rate: str) -> Tuple[Tuple[int, ...], ...]:
+def _count_std_4cycles(addresses, k: int, m: int) -> int:
+    """4-cycles of the lifted standard-domain H (info spreading + parity
+    accumulator): pairs of columns sharing two rows, counted exactly via
+    per-row column pairs.  Girth >= 6 iff this returns 0."""
+    import itertools
+    from collections import defaultdict
+
+    q = m // _GROUP
+    rows = defaultdict(list)
+    for g, addrs in enumerate(addresses):
+        for t in range(_GROUP):
+            col = g * _GROUP + t
+            for a in addrs:
+                rows[(a + t * q) % m].append(col)
+    for p in range(m):  # accumulator: parity col p checks rows p, p+1
+        rows[p].append(k + p)
+        if p + 1 < m:
+            rows[p + 1].append(k + p)
+    seen = set()
+    cycles = 0
+    for r in range(m):
+        for pair in itertools.combinations(sorted(set(rows[r])), 2):
+            if pair in seen:
+                cycles += 1
+            else:
+                seen.add(pair)
+    return cycles
+
+
+@functools.lru_cache(maxsize=None)
+def synthetic_address_table(n: int, rate: str,
+                            seed: int = 0) -> Tuple[Tuple[int, ...], ...]:
     """Deterministic address table with the standard's group structure and
-    degree profile (NOT the Annex B/C values — see module comment)."""
+    degree profile (NOT the Annex B/C values — see module comment).
+
+    Drawn girth-aware: candidate tables are redrawn until the lifted H has
+    no 4-cycles (:func:`_count_std_4cycles`), matching the published
+    tables' girth >= 6 — measured on the NR family, unconstrained random
+    tables cost 4-23x in FER (BENCH_NOTES / benchmarks/nr_table_select.py).
+    """
     num, den = map(int, rate.split("/"))
     k = _SHORT_K_LDPC[rate] if n == 16200 else n * num // den
     m = n - k
     groups = k // _GROUP
     deg_heavy, n_heavy = _DEGREE_PROFILES.get((n, rate), (8, groups // 3))
-    rng = np.random.default_rng(302307 + n + 100 * num + den)
-    addrs = []
-    for g in range(groups):
-        deg = deg_heavy if g < n_heavy else 3
-        a = rng.choice(m, size=deg, replace=False)
-        addrs.append(tuple(int(x) for x in a))
-    return tuple(addrs)
+    best, best_cycles = None, None
+    for attempt in range(24):
+        rng = np.random.default_rng(302307 + n + 100 * num + den
+                                    + 7919 * attempt + 104729 * seed)
+        addrs = []
+        for g in range(groups):
+            deg = deg_heavy if g < n_heavy else 3
+            a = rng.choice(m, size=deg, replace=False)
+            addrs.append(tuple(int(x) for x in a))
+        cycles = _count_std_4cycles(addrs, k, m)
+        if cycles == 0:
+            return tuple(addrs)
+        if best_cycles is None or cycles < best_cycles:
+            best, best_cycles = tuple(addrs), cycles
+    # very dense high-rate short frames (e.g. 16200 r5/6: 46k edges on
+    # m=2880 rows) cannot always reach girth 6 under the standard's group
+    # structure; keep the least-cyclic draw (the rates BASELINE names —
+    # r1/2 both frame sizes — all reach 0)
+    return best
 
 
 def dvbs2_ira_qc(n: int = 64800, rate: str = "1/2",
@@ -510,18 +560,9 @@ def dvbs2(n: int = 64800, rate: str = "1/2") -> DVBS2Code:
         k = n * num // den
     if (n - k) % _GROUP or k % _GROUP:
         raise ValueError(f"n={n} rate={rate}: k and m must be multiples of 360")
-    m = n - k
-    groups = k // _GROUP
-    # standard-like degree profile: 1/3 of groups degree 8, the rest degree 3
-    n_heavy = groups // 3
-    rng = np.random.default_rng(302307 + n + 100 * num + den)
-    addrs = []
-    for g in range(groups):
-        deg = 8 if g < n_heavy else 3
-        addrs.append(tuple(int(a) for a in rng.integers(0, m, size=deg)))
     return DVBS2Code(
         name=f"dvbs2_n{n}_r{num}{den}",
         n=n,
         k=k,
-        addresses=tuple(addrs),
+        addresses=synthetic_address_table(n, rate),
     )

@@ -224,3 +224,18 @@ def test_ira_qc_full_rate_grid(n, rate):
     assert (c[:, :k] == u).all()  # systematic
     c_j = np.asarray(jax.jit(ira_encode_fn(code))(jnp.asarray(u)))
     assert (c_j == c).all()
+
+
+def test_synthetic_address_tables_girth6():
+    """Synthetic tables must be 4-cycle-free in the lifted standard-domain
+    H (girth >= 6), like the published Annex B/C tables (measured on the NR
+    family, short cycles cost 4-23x in FER)."""
+    from myldpccppapi_tpu.codes.dvbs2 import (_SHORT_K_LDPC,
+                                              _count_std_4cycles,
+                                              synthetic_address_table)
+
+    for n, rate in ((64800, "1/2"), (16200, "1/2")):
+        num, den = map(int, rate.split("/"))
+        k = _SHORT_K_LDPC[rate] if n == 16200 else n * num // den
+        addrs = synthetic_address_table(n, rate)
+        assert _count_std_4cycles(addrs, k, n - k) == 0
