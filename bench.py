@@ -30,7 +30,7 @@ FALLBACK_CPU_MBITS = 2.05
 
 SNR_DB = 5.0
 BATCH = 8192
-GROUP = 64        # independent decode dispatches pipelined per timed round:
+GROUP = 128       # independent decode dispatches pipelined per timed round:
                   # the dev tunnel has a fixed per-execute RPC overhead, and
                   # back-to-back async dispatches hide it behind compute
                   # (the sync point is one stacked-counter readback)
@@ -84,10 +84,16 @@ def cpu_baseline_mbits(code, llr) -> float:
     out = native.decode_golden_native(code, sub, max_iters=40)
     if out is None:
         return FALLBACK_CPU_MBITS
-    t0 = time.perf_counter()
-    native.decode_golden_native(code, sub, max_iters=40)
-    dt = time.perf_counter() - t0
-    return len(sub) * code.k / dt / 1e6
+    # best of two timed runs: the least-contended run is the fairest to
+    # the baseline, and keeps vs_baseline conservative when background
+    # load depresses one measurement
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        native.decode_golden_native(code, sub, max_iters=40)
+        dt = time.perf_counter() - t0
+        best = max(best, len(sub) * code.k / dt / 1e6)
+    return best
 
 
 def main() -> None:

@@ -137,7 +137,17 @@ def _fill_girth6_shifts(base, rng, zmax) -> None:
             base[i, j] = int(rng.choice(allowed))
 
 
-def nr_base_graph(bg: int = 1, zmax: int = NR_ZMAX, seed: int = 3) -> np.ndarray:
+#: Default synthetic-table seed per base graph, selected from four girth-6
+#: candidates by measured knee/tail FER on chip (results.jsonl
+#: "nr_table_select": BG1 seed 3 = 5.6e-3 @-1.25 dB / 4.6e-5 @-0.75;
+#: BG2 seed 0 = 1.1e-3 / 1.1e-4 — candidates spread up to 3 orders of
+#: magnitude in floor FER even at equal girth, exactly why published
+#: tables are finalized by simulation).
+_DEFAULT_TABLE_SEED = {1: 3, 2: 0}
+
+
+def nr_base_graph(bg: int = 1, zmax: int = NR_ZMAX,
+                  seed: "int | None" = None) -> np.ndarray:
     """Synthetic BG1/BG2-structured base matrix with shifts in [0, zmax).
 
     Structure (matching TS 38.212's shape, not its values):
@@ -154,12 +164,8 @@ def nr_base_graph(bg: int = 1, zmax: int = NR_ZMAX, seed: int = 3) -> np.ndarray
     error-floor penalty (BENCH_NOTES round-2 NR waterfall).
     """
     m_b, n_b, k_b = _BG_SHAPES[bg]
-    # default seed selected from four girth-6 candidates by MEASURED knee
-    # and floor FER on chip (benchmarks/nr_table_select.py; results.jsonl
-    # "nr_table_select"): candidates span 3 orders of magnitude in floor
-    # FER even at equal girth, exactly why published tables are finalized
-    # by simulation.  seed 3: knee 5.6e-3 @-1.25 dB, tail 4.6e-5 @-0.75 dB
-    # (the pre-girth random table measured 6.3e-2 / 2.2e-4).
+    if seed is None:
+        seed = _DEFAULT_TABLE_SEED[bg]
     rng = np.random.default_rng(38212 + bg + 7919 * seed)
     # -1 = zero block, -2 = present (shift chosen girth-aware below)
     base = np.full((m_b, n_b), -1, dtype=np.int32)
