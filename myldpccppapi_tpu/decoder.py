@@ -103,11 +103,26 @@ class Decoder:
                     else None
                 )
                 idx = build_edge_index(rows, cols, code.n, code.m, layer)
-            self._fn = jax.jit(partial(decode_edgelist, idx, config))
+            crc_fail = None
+            if config.crc:
+                from .ops.bp import crc_fail_fn
+
+                crc_fail = crc_fail_fn(code, config.crc)
+            self._fn = jax.jit(
+                partial(decode_edgelist, idx, config, crc_fail=crc_fail)
+            )
         elif impl == "jnp":
+            # decode_qc handles cfg.crc natively (CRC folded into the
+            # early-exit latch)
             self._fn = jax.jit(partial(decode_qc, code, config))
         if config.triage_iters > 0 and impl in ("pallas", "pallas_zlane", "jnp"):
             self._fn = self._make_triage(impl)
+        if config.crc and impl in ("pallas", "pallas_zlane", "pallas_stream"):
+            # fused kernels early-exit on the syndrome alone; CRC-aided
+            # acceptance wraps them (ops/crc_accept.py) — semantically
+            # identical to an in-kernel CRC latch because the bit-exact jnp
+            # re-decode replays the kernel's trajectory and continues
+            self._fn = self._make_crc_accept()
         self.implementation = impl
 
     def _make_triage(self, impl: str):
@@ -144,6 +159,30 @@ class Decoder:
             if cap >= b:
                 return full(llr)
             return decode_two_phase(fast, full, full, llr, cap)
+
+        return fn
+
+    def _make_crc_accept(self):
+        """Wrap the (kernel, possibly triage-wrapped) decoder with CRC-aided
+        acceptance: syndrome-converged frames failing the CRC are re-decoded
+        by the CRC-aware jnp path at the full budget (ops/crc_accept.py)."""
+        import dataclasses
+
+        from .ops.bp import crc_fail_fn
+        from .ops.crc_accept import decode_with_crc_accept
+
+        cfg = self.config
+        fail = crc_fail_fn(self.code, cfg.crc)
+        retry_cfg = dataclasses.replace(
+            cfg, implementation="jnp", triage_iters=0
+        )
+        retry_full = partial(decode_qc, self.code, retry_cfg)
+        inner = self._fn
+
+        @jax.jit
+        def fn(llr):
+            cap = max(8, int(llr.shape[0] * cfg.triage_cap_frac))
+            return decode_with_crc_accept(inner, retry_full, fail, llr, cap)
 
         return fn
 

@@ -44,6 +44,15 @@ class DecodeResult(NamedTuple):
     converged: jax.Array   # [B] bool: syndrome == 0
     iterations: jax.Array  # [B] int32: iterations used per codeword
     total_iters: jax.Array  # scalar int32: batch iterations executed
+    #: [B] bool when CRC-aided acceptance is configured (DecoderConfig.crc):
+    #: syndrome AND CRC both pass.  None = syndrome-only decode, where
+    #: acceptance is :attr:`converged` (use :attr:`ok`).
+    accepted: "jax.Array | None" = None
+
+    @property
+    def ok(self) -> jax.Array:
+        """Frame acceptance: ``accepted`` when CRC-aided, else ``converged``."""
+        return self.converged if self.accepted is None else self.accepted
 
 
 def _to_blocks(llr: jax.Array, n_b: int, z: int) -> jax.Array:
@@ -155,6 +164,38 @@ def _syndrome_fail(bits_blocks: jax.Array, layers) -> jax.Array:
     return jnp.any(jnp.stack(fails), axis=0)
 
 
+def crc_fail_fn(code, crc: str):
+    """[B, n]-bits -> bool[B] "CRC fails" check for CRC-aided acceptance.
+
+    The CRC field occupies the last L bits of the code's information block
+    (the TS 38.212 code-block layout: message || CRC is what the LDPC
+    encoder sees).  One int8 MXU matmul per call (codes/crc.py).
+    """
+    from ..codes.crc import CRC_POLYS, crc_check_fn
+
+    length = CRC_POLYS[crc][0]
+    k_info = code.k_info
+    if k_info <= length:
+        raise ValueError(
+            f"CRC{crc} needs k_info > {length}, code has k_info={k_info}"
+        )
+    pos = jnp.asarray(np.asarray(code.info_positions))
+    check = crc_check_fn(k_info - length, crc)
+
+    def fail(bits_flat: jax.Array) -> jax.Array:
+        return ~check(bits_flat[:, pos].astype(jnp.int8))
+
+    return fail
+
+
+def _crc_fail_blocks(code, cfg: DecoderConfig):
+    """cfg.crc -> callable on [n_b, z, B] hard bits (or None)."""
+    if not cfg.crc:
+        return None
+    fail = crc_fail_fn(code, cfg.crc)
+    return lambda bits_blocks: fail(_from_blocks(bits_blocks))
+
+
 def _select_check_update(cfg: DecoderConfig):
     if cfg.algorithm == "min-sum":
         return partial(_check_update_minsum, alpha=cfg.normalization, beta=cfg.offset)
@@ -172,6 +213,7 @@ def decode_flooding(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeR
     dtype = llr.dtype
     layers = _layers(code)
     check_update = _select_check_update(cfg)
+    crc_fail = _crc_fail_blocks(code, cfg)
 
     chan = _to_blocks(llr, n_b, z)  # [n_b, z, B]
 
@@ -233,7 +275,10 @@ def decode_flooding(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeR
         keep = done[None, None, :]
         bits_out = jnp.where(keep, bits_out, bits)
         iters = jnp.where(done, iters, t + 1)
-        done = done | ~fail
+        # acceptance latch: syndrome-clean, and CRC-clean when CRC-aided —
+        # a frame converged to a wrong codeword keeps decoding (38.212 §5.1)
+        accept = ~fail if crc_fail is None else ~fail & ~crc_fail(bits)
+        done = done | accept
         return q_next, bits_out, done, iters, t + 1
 
     def cond(carry):
@@ -246,11 +291,19 @@ def decode_flooding(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeR
     q, bits_out, done, iters, t = jax.lax.while_loop(
         cond, body, (q0, bits0, done0, iters0, jnp.int32(0))
     )
+    if crc_fail is None:
+        conv, accepted = done, None
+    else:
+        # done latched on syndrome AND CRC; report syndrome validity of the
+        # final bits separately so the detected-wrong-codeword split is
+        # observable (converged & ~accepted = CRC caught a wrong codeword)
+        conv, accepted = ~_syndrome_fail(bits_out, layers), done
     return DecodeResult(
         bits=_from_blocks(bits_out).astype(jnp.uint8),
-        converged=done,
+        converged=conv,
         iterations=iters,
         total_iters=t,
+        accepted=accepted,
     )
 
 
@@ -266,6 +319,7 @@ def decode_layered(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeRe
     bsz = llr.shape[0]
     layers = _layers(code)
     check_update = _select_check_update(cfg)
+    crc_fail = _crc_fail_blocks(code, cfg)
 
     chan = _to_blocks(llr, n_b, z)
     r0 = jnp.zeros((code.num_blocks, z, bsz), dtype=llr.dtype)
@@ -300,7 +354,10 @@ def decode_layered(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeRe
         keep = done[None, None, :]
         bits_out = jnp.where(keep, bits_out, bits)
         iters = jnp.where(done, iters, t + 1)
-        done = done | ~fail
+        # acceptance latch: syndrome AND (when CRC-aided) CRC — see
+        # decode_flooding
+        accept = ~fail if crc_fail is None else ~fail & ~crc_fail(bits)
+        done = done | accept
         return r, post, bits_out, done, iters, t + 1
 
     def cond(carry):
@@ -313,11 +370,16 @@ def decode_layered(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeRe
     r, post, bits_out, done, iters, t = jax.lax.while_loop(
         cond, body, (r0, chan, bits0, done0, iters0, jnp.int32(0))
     )
+    if crc_fail is None:
+        conv, accepted = done, None
+    else:
+        conv, accepted = ~_syndrome_fail(bits_out, layers), done
     return DecodeResult(
         bits=_from_blocks(bits_out).astype(jnp.uint8),
-        converged=done,
+        converged=conv,
         iterations=iters,
         total_iters=t,
+        accepted=accepted,
     )
 
 

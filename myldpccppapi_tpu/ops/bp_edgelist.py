@@ -121,13 +121,19 @@ def _check_update(qr: jax.Array, cfg: DecoderConfig) -> jax.Array:
     return jnp.where(sgn == 1, -mag, mag).astype(qr.dtype)
 
 
-def decode_edgelist(idx: EdgeIndex, cfg: DecoderConfig, llr: jax.Array) -> DecodeResult:
+def decode_edgelist(idx: EdgeIndex, cfg: DecoderConfig, llr: jax.Array,
+                    crc_fail=None) -> DecodeResult:
     """Decode [B, n] LLRs for an arbitrary H given by its EdgeIndex.
 
     schedule="flooding": classic full sweep.  schedule="layered": row groups
     given by ``idx.row_layer`` are processed sequentially with the posterior
     refreshed between groups (grouped TDMP; concurrent column updates within
     one group accumulate additively).
+
+    ``crc_fail``: optional [B, n]-bits -> bool[B] CRC-fail check
+    (ops/bp.crc_fail_fn) for CRC-aided acceptance; the Decoder facade builds
+    it from ``cfg.crc``.  When given, the early-exit latch requires syndrome
+    AND CRC, and the result carries ``accepted``.
     """
     b = llr.shape[0]
     chan = llr.astype(jnp.float32).T  # [n, B]
@@ -201,7 +207,9 @@ def decode_edgelist(idx: EdgeIndex, cfg: DecoderConfig, llr: jax.Array) -> Decod
         keep = done[None, :]
         bits_out = jnp.where(keep, bits_out, bits)
         iters = jnp.where(done, iters, t + 1)
-        done = done | ~fail
+        # acceptance latch: syndrome AND (when CRC-aided) CRC — see ops/bp.py
+        accept = ~fail if crc_fail is None else ~fail & ~crc_fail(bits.T)
+        done = done | accept
         return r, post, bits_out, done, iters, t + 1
 
     def cond(carry):
@@ -219,10 +227,17 @@ def decode_edgelist(idx: EdgeIndex, cfg: DecoderConfig, llr: jax.Array) -> Decod
         jnp.zeros((b,), jnp.int32),
         jnp.int32(0),
     )
-    _, _, bits_out, done, iters, t = jax.lax.while_loop(cond, body, carry0)
+    _, post, bits_out, done, iters, t = jax.lax.while_loop(cond, body, carry0)
+    if crc_fail is None:
+        conv, accepted = done, None
+    else:
+        # done latched on syndrome AND CRC; non-done frames carry the final
+        # posterior's bits, so their syndrome validity comes from post
+        conv, accepted = done | ~syndrome_fail(post), done
     return DecodeResult(
         bits=bits_out.T.astype(jnp.uint8),
-        converged=done,
+        converged=conv,
         iterations=iters,
         total_iters=t,
+        accepted=accepted,
     )

@@ -43,7 +43,7 @@ def decode_two_phase(
     """
     b = llr.shape[0]
     res1 = decode_fast(llr)
-    bad = ~res1.converged  # [B]
+    bad = ~res1.ok  # [B]: not accepted (syndrome, and CRC when CRC-aided)
     n_bad = jnp.sum(bad.astype(jnp.int32))
 
     def retry(_):
@@ -61,11 +61,17 @@ def decode_two_phase(
         iterations = res1.iterations.at[sel].set(
             jnp.where(take, res2.iterations, res1.iterations[sel])
         )
+        accepted = None
+        if res1.accepted is not None:
+            accepted = res1.accepted.at[sel].set(
+                jnp.where(take, res2.accepted, res1.accepted[sel])
+            )
         return DecodeResult(
             bits=bits,
             converged=converged,
             iterations=iterations,
             total_iters=jnp.maximum(res1.total_iters, res2.total_iters),
+            accepted=accepted,
         )
 
     def fallback(_):

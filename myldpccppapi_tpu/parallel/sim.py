@@ -37,7 +37,14 @@ __all__ = [
 
 
 class SimStats(NamedTuple):
-    """Exact error statistics for one simulated batch (per SNR point)."""
+    """Exact error statistics for one simulated batch (per SNR point).
+
+    ``frame_errors`` counts every frame with info-bit errors; the
+    detected/undetected split distinguishes errors the receiver KNOWS about
+    (frame not accepted: unconverged, or CRC-rejected under CRC-aided
+    acceptance) from silently wrong accepted frames:
+    ``detected = frame_errors - undetected_errors``.
+    """
 
     frames: jax.Array        # codewords simulated
     frame_errors: jax.Array  # codewords with >=1 info-bit error
@@ -45,6 +52,12 @@ class SimStats(NamedTuple):
     info_bits: jax.Array     # info bits simulated (frames * k_info)
     iterations: jax.Array    # total BP iterations used (sum over frames)
     unconverged: jax.Array   # frames that hit the iteration cap
+    #: frames ACCEPTED (syndrome, and CRC when configured) yet wrong — the
+    #: receiver cannot see these errors
+    undetected_errors: jax.Array = np.int64(0)
+    #: frames whose syndrome converged but the CRC rejected them (wrong-
+    #: codeword convergence caught by CRC-aided acceptance; 0 without CRC)
+    crc_rejected: jax.Array = np.int64(0)
 
 
 def matmul_encode_fn(code, encoder=None) -> Callable[[jax.Array], jax.Array]:
@@ -97,6 +110,11 @@ def sim_step(
 
     ``snr_db``: scalar (may be traced).  Noise sigma follows the reference
     CLI convention sigma = 10^(-snr/20) (``Test.cpp:57``).
+
+    When ``cfg.crc`` is set, random MESSAGE bits are drawn and the CRC is
+    attached (TS 38.212 §5.1 code-block layout) before encoding, so the
+    decoder's CRC-aided acceptance sees consistent frames; errors are still
+    counted over the full information block (message + CRC field).
     """
     if encode_fn is None:
         encode_fn = matmul_encode_fn(code)
@@ -105,7 +123,15 @@ def sim_step(
     info_pos = jnp.asarray(code.info_positions)
     kbits = len(info_pos)
     k_u, k_n = jax.random.split(key)
-    u = jax.random.bernoulli(k_u, 0.5, (batch, kbits)).astype(jnp.int8)
+    if cfg.crc:
+        from ..codes.crc import CRC_POLYS, crc_attach_fn
+
+        k_msg = kbits - CRC_POLYS[cfg.crc][0]
+        attach = crc_attach_fn(k_msg, cfg.crc)
+        msg = jax.random.bernoulli(k_u, 0.5, (batch, k_msg)).astype(jnp.int8)
+        u = attach(msg)  # [B, kbits] message || CRC
+    else:
+        u = jax.random.bernoulli(k_u, 0.5, (batch, kbits)).astype(jnp.int8)
     cw = encode_fn(u)  # [B, n] 0/1 ints
     sigma = sigma_from_snr_db(snr_db)
     sym = 1.0 - 2.0 * cw.astype(jnp.float32)
@@ -114,6 +140,7 @@ def sim_step(
     res = decode_fn(llr)
     decoded_info = res.bits[:, info_pos].astype(jnp.int8)
     bit_err = jnp.sum((decoded_info != u).astype(jnp.int32), axis=-1)  # [B]
+    accepted = res.ok  # syndrome, and CRC when CRC-aided
     i64 = jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32
     return SimStats(
         frames=jnp.asarray(batch, i64),
@@ -122,6 +149,8 @@ def sim_step(
         info_bits=jnp.asarray(batch * kbits, i64),
         iterations=jnp.sum(res.iterations).astype(i64),
         unconverged=jnp.sum(~res.converged).astype(i64),
+        undetected_errors=jnp.sum((bit_err > 0) & accepted).astype(i64),
+        crc_rejected=jnp.sum(res.converged & ~accepted).astype(i64),
     )
 
 

@@ -57,6 +57,17 @@ class DecoderConfig:
     #: VMEM working set and bandwidth of the decode; ~0.05 dB BER cost
     #: typical for min-sum, which only compares magnitudes and adds).
     msg_dtype: str = "float32"
+    #: CRC-aided acceptance (TS 38.212 §5.1): name of a CRC from
+    #: codes/crc.py (``"24A"``/``"24B"``/``"24C"``/``"16"``) whose field
+    #: occupies the LAST L bits of the code's information block.  When set,
+    #: a frame is *accepted* (and early-terminates) only when the LDPC
+    #: syndrome AND the CRC both pass — the standard NR receiver flow.  The
+    #: reference's only oracle is the syndrome (``decodeCL.c:88-108``),
+    #: which admits undetected wrong-codeword convergence; with a CRC the
+    #: decoder keeps iterating such frames and reports them as detected
+    #: errors (``DecodeResult.accepted``).  None = syndrome-only acceptance
+    #: (the reference semantics).
+    crc: Optional[str] = None
     #: Convergence-check strategy inside the fused kernels.
     #: "exact": full syndrome pass (per-edge circulant rolls of the
     #: posterior) after every sweep — iteration counts and results are
@@ -85,6 +96,13 @@ class DecoderConfig:
             raise ValueError(f"unknown msg_dtype {self.msg_dtype!r}")
         if self.syndrome_mode not in ("exact", "lazy"):
             raise ValueError(f"unknown syndrome_mode {self.syndrome_mode!r}")
+        if self.crc is not None:
+            from ..codes.crc import CRC_POLYS
+
+            if self.crc not in CRC_POLYS:
+                raise ValueError(
+                    f"unknown crc {self.crc!r}; choose from {sorted(CRC_POLYS)}"
+                )
 
 
 @dataclasses.dataclass(frozen=True)

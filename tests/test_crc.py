@@ -49,6 +49,7 @@ def test_attach_check_device():
     assert (crc_numpy(np.asarray(u), "24B") == np.asarray(blocks)[:, k:]).all()
 
 
+@pytest.mark.slow
 def test_crc_aided_nr_decode():
     """38.212-style flow: CRC24B-attached payload fills the NR code block;
     after LDPC decode the CRC accepts exactly the correctly decoded frames."""
