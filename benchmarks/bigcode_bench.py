@@ -80,14 +80,14 @@ def config3():
     import jax.numpy as jnp
 
     from myldpccppapi_tpu import Decoder, DecoderConfig
-    from myldpccppapi_tpu.codes import dvbs2_qc
-    from myldpccppapi_tpu.codes.dvbs2 import qc_ira_encode_numpy
+    from myldpccppapi_tpu.codes import dvbs2
+    from myldpccppapi_tpu.codes.dvbs2 import ira_encode_numpy
 
-    code = dvbs2_qc(64800, "1/2")
+    code = dvbs2(64800, "1/2")
     rng = np.random.default_rng(0)
     batch = 1024
     u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
-    sym = 1.0 - 2.0 * qc_ira_encode_numpy(code, u).astype(np.float32)
+    sym = 1.0 - 2.0 * ira_encode_numpy(code, u).astype(np.float32)
     sigma = 10 ** (-1.2 / 20)
 
     def make_llr():

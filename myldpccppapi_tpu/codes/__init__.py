@@ -11,7 +11,7 @@ from .wimax import wimax
 from .wifi import wifi
 from .regular import regular
 from .nr import nr_code
-from .dvbs2 import dvbs2, dvbs2_qc
+from .dvbs2 import dvbs2, dvbs2_ira_qc, dvbs2_oracle, ira_encode_fn
 from .crc import crc_attach_fn, crc_check_fn, crc_matrix, crc_numpy
 
 __all__ = [
@@ -20,7 +20,9 @@ __all__ = [
     "crc_matrix",
     "crc_numpy",
     "dvbs2",
-    "dvbs2_qc",
+    "dvbs2_ira_qc",
+    "dvbs2_oracle",
+    "ira_encode_fn",
     "nr_code",
     "QCCode",
     "Encoder",

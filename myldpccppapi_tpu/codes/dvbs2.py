@@ -1,17 +1,26 @@
-"""DVB-S2-style IRA LDPC codes (n = 64800 / 16200, accumulator parity).
+"""DVB-S2 IRA LDPC codes (EN 302 307; n = 64800 / 16200).
 
-BASELINE config-3 capability: the EN 302 307 code structure — information
-bits addressed in groups of 360 with q-periodic row spreading, plus a
-bidiagonal parity accumulator — with O(n) encoding (one prefix-XOR pass, no
-matrices) and the generic edge-list decoder for BP (the H is not
-block-circulant under one permutation, so the QC roll path does not apply).
+The ONE user-facing constructor is :func:`dvbs2` (equivalently
+:func:`dvbs2_ira_qc`): the exact EN 302 307 H structure — information bits
+addressed in groups of 360 with q-periodic row spreading plus a bidiagonal
+parity accumulator — expressed as a z=360 quasi-cyclic :class:`QCCode`
+under the classic row-residue permutation, so it rides the fused Pallas
+z-lane kernel on TPU (BASELINE config 3's measured path) with O(n)
+accumulator encoding (:func:`ira_encode_fn`).
 
-The per-rate *address tables are synthetic*: deterministic draws with the
-standard's group structure and a standard-like degree profile (a fraction of
-degree-8 groups, the rest degree-3), NOT the EN 302 307 Annex B/C tables —
-so not bit-interoperable with DVB hardware.  The table is plain data
-(``addresses``): substituting the standard's values upgrades to full
-interoperability with no code change.
+:func:`dvbs2_oracle` builds the same code in the standard (un-permuted)
+domain as a :class:`DVBS2Code` consumed by the generic edge-list decoder —
+kept as the independent test oracle that pins the QC transformation
+(tests/test_dvbs2.py::test_ira_qc_matches_standard_domain_h), not as a
+production path.
+
+The per-rate *address tables are synthetic*: deterministic girth-aware
+draws with the standard's group structure and per-rate degree profile
+(Table 5a/5b), NOT the EN 302 307 Annex B/C tables — so not
+bit-interoperable with DVB hardware.  The table is plain data
+(``addresses``): substituting the standard's values via
+:func:`parse_address_table` upgrades to full interoperability with no code
+change (see PROVENANCE.md for the policy).
 
 Layered decoding groups rows by residue class mod q (360 rows/layer): the
 q-periodic spreading makes intra-layer column conflicts rare, the classic
@@ -22,13 +31,15 @@ from __future__ import annotations
 import dataclasses
 import functools
 from functools import cached_property
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["DVBS2Code", "dvbs2"]
+__all__ = ["DVBS2Code", "dvbs2", "dvbs2_ira_qc", "dvbs2_oracle",
+           "parse_address_table", "std_interleave",
+           "ira_encode_fn", "ira_encode_numpy"]
 
 _GROUP = 360
 
@@ -149,138 +160,6 @@ _SHORT_K_LDPC = {
 }
 
 
-_QC_P0_SHIFT = 1  # shift of the p0 column's paired entries (any value works:
-                  # x^s + 1 + x^s = 1 over GF(2), so p0 = sum of all row sums)
-
-
-def dvbs2_qc(n: int = 64800, rate: str = "1/2"):
-    """DVB-S2-style code as a z=360 quasi-cyclic ``QCCode`` (the fast path).
-
-    The standard's q-periodic address spreading IS block-circulant: row
-    ``a + j*q`` of info group g, for j = 0..359, is layer ``a mod q`` at
-    layer-position ``(j + a//q) mod 360`` — i.e. block (a % q, g) is a
-    shifted identity with shift ``-(a//q) mod 360`` (the classic DVB-S2
-    hardware-decoder transformation).  The bit-level parity accumulator is
-    replaced by the 802.16e-style QC parity (``MyLdpc.h:40-102`` column
-    h_b0): one column with entries at rows {0, mid, last} whose shifted
-    pair cancels over GF(2), then a shift-0 dual-diagonal staircase.  Every
-    parity column has degree >= 2 (the pure block staircase would leave 360
-    degree-1 bits and an error floor) and encoding is one O(edges) pass
-    (:func:`qc_ira_encode_numpy`).  Synthetic address tables as in
-    :func:`dvbs2` (one address per (group, residue) pair so every base
-    block is a single circulant).
-    """
-    from .qc import QCCode
-
-    num, den = map(int, rate.split("/"))
-    k = _SHORT_K_LDPC[rate] if n == 16200 else n * num // den
-    m = n - k
-    if k % _GROUP or m % _GROUP:
-        raise ValueError(f"n={n} rate={rate}: k and m must be multiples of 360")
-    q = m // _GROUP
-    kb = k // _GROUP
-    n_heavy = kb // 3
-    rng = np.random.default_rng(302307 + n + 100 * num + den)
-    base = np.full((q, kb + q), -1, dtype=np.int32)
-    for g in range(kb):
-        deg = 8 if g < n_heavy else 3
-        residues = rng.choice(q, size=deg, replace=False)
-        for l in residues:
-            a = int(l) + q * int(rng.integers(0, _GROUP))
-            base[l, g] = (-(a // q)) % _GROUP
-    # 802.16e-style parity: p0 column + staircase
-    base[0, kb] = _QC_P0_SHIFT
-    base[q // 2, kb] = 0
-    base[q - 1, kb] = _QC_P0_SHIFT
-    for j in range(q - 1):  # staircase col kb+1+j in rows j, j+1
-        base[j, kb + 1 + j] = 0
-        base[j + 1, kb + 1 + j] = 0
-    return QCCode(name=f"dvbs2qc_n{n}_r{num}{den}", base=base, z=_GROUP)
-
-
-def _qc_row_sums(code, u, xp):
-    """lam_l [B, z] for each base row l from the info part only."""
-    z = code.z
-    kb = code.k // z
-    ub = u.reshape(*u.shape[:-1], kb, z)
-    lams = []
-    for l in range(code.m_b):
-        acc = xp.zeros(u.shape[:-1] + (z,), dtype=xp.int32)
-        for g in range(kb):
-            s = int(code.base[l, g])
-            if s >= 0:
-                acc = acc ^ xp.roll(ub[..., g, :], -s, axis=-1)
-        lams.append(acc)
-    return lams
-
-
-def qc_ira_encode_numpy(code, u: np.ndarray) -> np.ndarray:
-    """O(edges) encode for the dvbs2_qc parity structure.
-
-    p0 = XOR of all block-row info sums (the paired shifted entries of the
-    p0 column cancel, the middle one survives); the staircase columns then
-    follow by forward substitution.  The last block row closes
-    automatically (verified by construction: the telescoped sum equals
-    p0 + p0 = 0).
-    """
-    u = np.asarray(u)
-    z = code.z
-    q = code.m_b
-    kb = code.k // z
-    lams = _qc_row_sums(code, u, np)
-    p0 = lams[0].copy()
-    for l in range(1, q):
-        p0 = p0 ^ lams[l]
-    blocks = [u.reshape(*u.shape[:-1], kb, z)[..., g, :] for g in range(kb)]
-    blocks.append(p0 & 1)
-    s_prev = np.zeros_like(p0)
-    for i in range(q - 1):
-        t = lams[i].copy()
-        sp0 = int(code.base[i, kb])
-        if sp0 >= 0:
-            t = t ^ np.roll(p0, -sp0, axis=-1)
-        s_prev = s_prev ^ t
-        blocks.append(s_prev & 1)
-    return np.concatenate(blocks, axis=-1).astype(u.dtype)
-
-
-def qc_ira_encode_fn(code):
-    """jnp version of :func:`qc_ira_encode_numpy` (jit/shard-safe)."""
-    import jax.numpy as jnp
-
-    z = code.z
-    q = code.m_b
-    kb = code.k // z
-    entries = [
-        [(g, int(code.base[l, g])) for g in range(kb) if code.base[l, g] >= 0]
-        for l in range(q)
-    ]
-    p0_shifts = [int(code.base[l, kb]) for l in range(q)]
-
-    def encode(u):
-        ub = u.reshape(*u.shape[:-1], kb, z).astype(jnp.int32)
-        lams = []
-        for l in range(q):
-            acc = jnp.zeros(u.shape[:-1] + (z,), jnp.int32)
-            for (g, s) in entries[l]:
-                acc = acc ^ jnp.roll(ub[..., g, :], -s, axis=-1)
-            lams.append(acc)
-        p0 = lams[0]
-        for l in range(1, q):
-            p0 = p0 ^ lams[l]
-        blocks = [ub[..., g, :] for g in range(kb)] + [p0 & 1]
-        s_prev = jnp.zeros_like(p0)
-        for i in range(q - 1):
-            t = lams[i]
-            if p0_shifts[i] >= 0:
-                t = t ^ jnp.roll(p0, -p0_shifts[i], axis=-1)
-            s_prev = s_prev ^ t
-            blocks.append(s_prev & 1)
-        return jnp.stack(blocks, axis=-2).reshape(*u.shape[:-1], code.n)
-
-    return encode
-
-
 # ---------------------------------------------------------------------------
 # Standard-structure IRA code in QC form (EN 302 307 Annex B/C layout)
 # ---------------------------------------------------------------------------
@@ -342,11 +221,12 @@ def parse_address_table(text: str) -> Tuple[Tuple[int, ...], ...]:
 
 
 def _count_std_4cycles(addresses, k: int, m: int) -> int:
-    """4-cycles of the lifted standard-domain H (info spreading + parity
-    accumulator): pairs of columns sharing two rows, counted exactly via
-    per-row column pairs.  Girth >= 6 iff this returns 0."""
+    """Exact 4-cycle count of the lifted standard-domain H (info spreading
+    + parity accumulator): a column pair sharing c >= 2 rows contributes
+    C(c, 2) cycles.  Girth >= 6 iff this returns 0; the exact multiplicity
+    also ranks candidates on the least-cyclic fallback path."""
     import itertools
-    from collections import defaultdict
+    from collections import Counter, defaultdict
 
     q = m // _GROUP
     rows = defaultdict(list)
@@ -359,15 +239,11 @@ def _count_std_4cycles(addresses, k: int, m: int) -> int:
         rows[p].append(k + p)
         if p + 1 < m:
             rows[p + 1].append(k + p)
-    seen = set()
-    cycles = 0
+    pair_rows = Counter()
     for r in range(m):
         for pair in itertools.combinations(sorted(set(rows[r])), 2):
-            if pair in seen:
-                cycles += 1
-            else:
-                seen.add(pair)
-    return cycles
+            pair_rows[pair] += 1
+    return sum(c * (c - 1) // 2 for c in pair_rows.values() if c >= 2)
 
 
 @functools.lru_cache(maxsize=None)
@@ -380,6 +256,12 @@ def synthetic_address_table(n: int, rate: str,
     no 4-cycles (:func:`_count_std_4cycles`), matching the published
     tables' girth >= 6 — measured on the NR family, unconstrained random
     tables cost 4-23x in FER (BENCH_NOTES / benchmarks/nr_table_select.py).
+    Very dense high-rate short frames (e.g. 16200 r5/6: 46k edges on
+    m=2880 rows) cannot always reach girth 6 under the standard's group
+    structure; then the least-cyclic of the 24 draws is kept and a
+    ``UserWarning`` reports the residual exact 4-cycle count (also
+    queryable via :func:`table_4cycles`).  Of the shipped grid, r1/2 at
+    both frame sizes — the BASELINE configs — reach 0 (pinned by tests).
     """
     num, den = map(int, rate.split("/"))
     k = _SHORT_K_LDPC[rate] if n == 16200 else n * num // den
@@ -400,11 +282,27 @@ def synthetic_address_table(n: int, rate: str,
             return tuple(addrs)
         if best_cycles is None or cycles < best_cycles:
             best, best_cycles = tuple(addrs), cycles
-    # very dense high-rate short frames (e.g. 16200 r5/6: 46k edges on
-    # m=2880 rows) cannot always reach girth 6 under the standard's group
-    # structure; keep the least-cyclic draw (the rates BASELINE names —
-    # r1/2 both frame sizes — all reach 0)
+    import warnings
+
+    warnings.warn(
+        f"dvbs2 n={n} rate={rate}: no girth-6 table in 24 draws; using the "
+        f"least-cyclic candidate ({best_cycles} residual 4-cycles)",
+        stacklevel=2,
+    )
     return best
+
+
+def table_4cycles(n: int, rate: str, seed: int = 0) -> int:
+    """Exact 4-cycle count of the synthetic default table for (n, rate) —
+    0 means the shipped table is girth >= 6."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        addrs = synthetic_address_table(n, rate, seed)
+    num, den = map(int, rate.split("/"))
+    k = _SHORT_K_LDPC[rate] if n == 16200 else n * num // den
+    return _count_std_4cycles(addrs, k, n - k)
 
 
 def dvbs2_ira_qc(n: int = 64800, rate: str = "1/2",
@@ -548,9 +446,20 @@ def ira_encode_fn(code):
     return encode
 
 
-def dvbs2(n: int = 64800, rate: str = "1/2") -> DVBS2Code:
-    """Construct a DVB-S2-style code (synthetic address tables, see module
-    docstring).  Supported n: 64800 (normal), 16200 (short)."""
+def dvbs2(n: int = 64800, rate: str = "1/2",
+          addresses: "Tuple[Tuple[int, ...], ...] | None" = None):
+    """The blessed DVB-S2 constructor: the EN 302 307 IRA structure in
+    z=360 QC form (alias of :func:`dvbs2_ira_qc`) — O(n) accumulator
+    encoding via :func:`ira_encode_fn`, fused z-lane Pallas kernel on TPU.
+    Supported n: 64800 (normal FECFRAME), 16200 (short)."""
+    return dvbs2_ira_qc(n, rate, addresses)
+
+
+def dvbs2_oracle(n: int = 64800, rate: str = "1/2") -> DVBS2Code:
+    """Standard-domain (un-permuted) DVB-S2 code on the generic edge-list
+    path — the INDEPENDENT TEST ORACLE for :func:`dvbs2`'s QC
+    transformation (same synthetic address tables), not a production
+    decoder.  Use :func:`dvbs2` everywhere else."""
     num, den = map(int, rate.split("/"))
     if n == 16200:
         if rate not in _SHORT_K_LDPC:

@@ -9,12 +9,14 @@ import numpy as np
 import pytest
 
 from myldpccppapi_tpu import Decoder, DecoderConfig
-from myldpccppapi_tpu.codes.dvbs2 import dvbs2
+from myldpccppapi_tpu.codes.dvbs2 import dvbs2_oracle
 
 
 @pytest.fixture(scope="module")
 def code():
-    return dvbs2(16200, "1/2")
+    # the standard-domain oracle (edge-list path) — the production
+    # constructor is dvbs2() (QC form, tested below)
+    return dvbs2_oracle(16200, "1/2")
 
 
 def test_structure(code):
@@ -42,41 +44,17 @@ def test_jnp_encode_matches_numpy(code, rng):
     assert (c_np == c_j).all()
 
 
-def test_qc_form_valid_and_decodable(rng):
-    """The z=360 QC form (block-circulant regrouping of the q-periodic
-    structure): triangular encode produces valid codewords and the QC roll
-    decoder recovers them."""
-    from myldpccppapi_tpu.codes.dvbs2 import (
-        dvbs2_qc,
-        qc_ira_encode_fn,
-        qc_ira_encode_numpy,
-    )
-    from myldpccppapi_tpu.ops.bp import decode_qc
+def test_dvbs2_is_the_qc_constructor():
+    """The blessed ``dvbs2()`` builds the IRA-QC form (fused-kernel path),
+    identical to ``dvbs2_ira_qc``."""
+    from myldpccppapi_tpu.codes.dvbs2 import dvbs2, dvbs2_ira_qc
+    from myldpccppapi_tpu.codes.qc import QCCode
 
-    import jax
-
-    code = dvbs2_qc(16200, "1/2")
-    assert code.z == 360 and code.k == 7200
-    # every parity column must have degree >= 2 (no error floor)
-    deg = np.count_nonzero(code.base >= 0, axis=0)
-    assert (deg[code.k // 360 :] >= 2).all()
-    u = rng.integers(0, 2, size=(4, code.k), dtype=np.uint8)
-    c = qc_ira_encode_numpy(code, u)
-    assert code.syndrome(c).sum() == 0
-    c_j = np.asarray(jax.jit(qc_ira_encode_fn(code))(jnp.asarray(u)))
-    assert (c == c_j).all()
-    sigma = 10 ** (-2.5 / 20)
-    y = (1.0 - 2.0 * c.astype(np.float32)) + rng.normal(0, sigma, c.shape).astype(
-        np.float32
-    )
-    llr = jnp.asarray(2.0 * y / sigma**2)
-    res = decode_qc(
-        code,
-        DecoderConfig(schedule="layered", normalization=0.8, max_iters=50),
-        llr,
-    )
-    assert np.asarray(res.converged).all()
-    assert (np.asarray(res.bits)[:, : code.k] == u).all()
+    code = dvbs2(16200, "8/9")
+    assert isinstance(code, QCCode)
+    ref = dvbs2_ira_qc(16200, "8/9")
+    assert code.name == ref.name and code.z == ref.z == 360
+    assert (code.base == ref.base).all()
 
 
 @pytest.mark.parametrize("schedule", ["flooding", "layered"])
@@ -200,6 +178,7 @@ _ALL_RATES = [
 ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n,rate", _ALL_RATES)
 def test_ira_qc_full_rate_grid(n, rate):
     """Every (frame length, rate) the EN 302 307 family ships constructs,
@@ -217,7 +196,10 @@ def test_ira_qc_full_rate_grid(n, rate):
     assert code.m_b == (n - k) // 360 and code.n_b == n // 360
     # masked accumulator wrap: exactly one edge short of full circulants
     assert code.num_edges == code.num_blocks * code.z - 1
-    rng_l = np.random.default_rng(hash((n, rate)) % 2**32)
+    # deterministic seed: str hashing is salted per process (PYTHONHASHSEED)
+    import zlib
+
+    rng_l = np.random.default_rng(zlib.crc32(f"{n}/{rate}".encode()))
     u = rng_l.integers(0, 2, size=(2, k), dtype=np.uint8)
     c = ira_encode_numpy(code, u)
     assert not code.syndrome(c).any()

@@ -27,6 +27,7 @@ def _case(code, batch, snr_db, seed=0):
     return u, jnp.asarray(llr)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("schedule", ["layered", "flooding"])
 def test_pallas_matches_jnp_bitexact(schedule):
     code = wimax(576, "3/4B")
@@ -49,6 +50,7 @@ def test_pallas_batch_padding():
     assert (np.asarray(res.bits)[:, : code.k] == u).all()
 
 
+@pytest.mark.slow
 def test_pallas_normalized_minsum():
     code = wimax(576, "1/2")
     u, llr = _case(code, batch=8, snr_db=4.0, seed=1)
@@ -58,6 +60,7 @@ def test_pallas_normalized_minsum():
     assert (np.asarray(res.bits) == np.asarray(ref.bits)).all()
 
 
+@pytest.mark.slow
 def test_dyn_kernel_matches_jnp_on_nr():
     """Large base graphs (> _DYN_BLOCK_THRESHOLD blocks) route to the
     table-driven kernel (SMEM seed tables + dynamic rolls); it must be
@@ -94,18 +97,41 @@ def test_choose_batch_tile_scales_down():
     assert choose_batch_tile(big, vmem_budget=2 * 1024 * 1024) < 128
 
 
+def _staircase_qc(z=360, q=8, kb=12, seed=7):
+    """QC code with a p0 column + dual-diagonal staircase parity (the
+    802.16e-style layout the removed dvbs2_qc used): layers of unequal
+    degree exercise the streaming kernel's pad-slot handling."""
+    from myldpccppapi_tpu.codes.qc import QCCode
+
+    rng = np.random.default_rng(seed)
+    base = np.full((q, kb + q), -1, dtype=np.int32)
+    for g in range(kb):
+        deg = 8 if g < kb // 3 else 3
+        for l in rng.choice(q, size=deg, replace=False):
+            base[l, g] = int(rng.integers(0, z))
+    base[0, kb] = 1
+    base[q // 2, kb] = 0
+    base[q - 1, kb] = 1
+    for j in range(q - 1):
+        base[j, kb + 1 + j] = 0
+        base[j + 1, kb + 1 + j] = 0
+    return QCCode(name=f"staircase_z{z}_q{q}", base=base, z=z)
+
+
+@pytest.mark.slow
 def test_streaming_kernel_matches_jnp():
     """HBM-streaming fused kernel (opt-in, for codes beyond VMEM): bit-exact
     vs the jnp path including iteration counts, on a code with pad-slot
-    column collisions (dvbs2_qc parity staircase)."""
-    from myldpccppapi_tpu.codes.dvbs2 import dvbs2_qc, qc_ira_encode_numpy
+    column collisions (staircase parity, unequal layer degrees)."""
+    from myldpccppapi_tpu.codes.encoder import Encoder, encode_numpy
     from myldpccppapi_tpu.ops.bp import decode_qc
     from myldpccppapi_tpu.ops.pallas_stream import decode_qc_stream
 
-    code = dvbs2_qc(16200, "1/2")
+    code = _staircase_qc()
     rng = np.random.default_rng(0)
-    u = rng.integers(0, 2, size=(4, code.k), dtype=np.uint8)
-    c = qc_ira_encode_numpy(code, u)
+    enc = Encoder(code)
+    u = rng.integers(0, 2, size=(4, code.k_info), dtype=np.uint8)
+    c = encode_numpy(enc.mats, u)
     sigma = 10 ** (-2.5 / 20)
     y = (1.0 - 2.0 * c.astype(np.float32)) + rng.normal(0, sigma, c.shape).astype(
         np.float32

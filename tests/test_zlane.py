@@ -120,10 +120,10 @@ def test_zlane_supported_gates():
         _random_qc(128), DecoderConfig(schedule="flooding")
     )
     # real targets fit
-    from myldpccppapi_tpu.codes.dvbs2 import dvbs2_qc
+    from myldpccppapi_tpu.codes.dvbs2 import dvbs2
     from myldpccppapi_tpu.codes.nr import nr_code
 
-    assert zlane_supported(dvbs2_qc(64800, "1/2"), cfg)
+    assert zlane_supported(dvbs2(64800, "1/2"), cfg)
     assert zlane_supported(nr_code(z=384, bg=1), cfg)
 
 
@@ -142,6 +142,7 @@ def test_zlane_early_exit_latching():
         assert not syn.any()
 
 
+@pytest.mark.slow
 def test_zlane_lazy_syndrome():
     """Lazy syndrome mode: the exact pass runs only when the on-the-fly
     pre-check fires, so iteration counts may trail "exact" by one sweep —
@@ -176,6 +177,7 @@ def test_zlane_lazy_syndrome():
     ).all()
 
 
+@pytest.mark.slow
 def test_zlane_bf16_semantics():
     """bf16 message storage (16-codeword sublane tile).
 
