@@ -33,6 +33,11 @@ class PointStats:
     info_bits: int = 0
     iterations: int = 0
     unconverged: int = 0
+    #: frames accepted (syndrome, and CRC under CRC-aided acceptance) yet
+    #: wrong — errors the receiver cannot see
+    undetected_errors: int = 0
+    #: wrong-codeword convergences caught by the CRC (0 without cfg.crc)
+    crc_rejected: int = 0
     wall_s: float = 0.0
 
     @property
@@ -47,6 +52,11 @@ class PointStats:
     def avg_iters(self) -> float:
         return self.iterations / self.frames if self.frames else math.nan
 
+    @property
+    def detected_errors(self) -> int:
+        """Frame errors the receiver knows about (not accepted)."""
+        return self.frame_errors - self.undetected_errors
+
     def fer_ci95(self) -> float:
         """Half-width of the 95% normal-approx confidence interval on FER."""
         if not self.frames:
@@ -56,7 +66,8 @@ class PointStats:
 
     def as_dict(self) -> dict:
         d = dataclasses.asdict(self)
-        d.update(fer=self.fer, ber=self.ber, avg_iters=self.avg_iters)
+        d.update(fer=self.fer, ber=self.ber, avg_iters=self.avg_iters,
+                 detected_errors=self.detected_errors)
         return d
 
 
@@ -97,12 +108,19 @@ class WaterfallCampaign:
         frames_per_step: int,
         fingerprint: str = "",
         checkpoint_path: Optional[str] = None,
+        snr_group_size: int = 1,
     ):
         self.config = config
         self.step_fn = step_fn
         self.frames_per_step = frames_per_step
         self.fingerprint = fingerprint
         self.checkpoint_path = checkpoint_path
+        #: >1 = SNR points are simulated in fixed groups of this size per
+        #: step (one per snr-mesh shard, the BASELINE config-5 layout);
+        #: ``step_fn(seed, [snr...])`` must then return stats with a
+        #: leading [group] axis.  A finished point keeps simulating as
+        #: filler until its whole group stops (its results are discarded).
+        self.snr_group_size = max(1, int(snr_group_size))
         self.points: List[PointStats] = [PointStats(float(s)) for s in config.snr_db]
         self.steps_done: List[int] = [0] * len(self.points)
         if checkpoint_path and os.path.exists(checkpoint_path):
@@ -144,8 +162,31 @@ class WaterfallCampaign:
     def finished(self) -> bool:
         return all(self.point_finished(i) for i in range(len(self.points)))
 
+    def _accumulate(self, i: int, stats, wall_s: float, take=None) -> None:
+        """Add one step's stats into point i.  ``take`` selects the point's
+        slice of a grouped [S]-leading stats tuple (None = whole thing)."""
+        p = self.points[i]
+
+        def tot(x):
+            a = np.asarray(x)
+            return int(np.sum(a if take is None else a[take]))
+
+        p.wall_s += wall_s
+        p.frames += tot(stats.frames)
+        p.frame_errors += tot(stats.frame_errors)
+        p.bit_errors += tot(stats.bit_errors)
+        p.info_bits += tot(stats.info_bits)
+        p.iterations += tot(stats.iterations)
+        p.unconverged += tot(stats.unconverged)
+        # optional split fields (older step_fn fakes may omit them)
+        p.undetected_errors += tot(getattr(stats, "undetected_errors", 0))
+        p.crc_rejected += tot(getattr(stats, "crc_rejected", 0))
+        self.steps_done[i] += 1
+
     def run(self, checkpoint_every: int = 10, progress=None) -> List[PointStats]:
         """Round-robin the unfinished SNR points until all stop criteria hit."""
+        if self.snr_group_size > 1:
+            return self._run_grouped(checkpoint_every, progress)
         steps_since_ckpt = 0
         while not self.finished:
             for i, p in enumerate(self.points):
@@ -157,18 +198,48 @@ class WaterfallCampaign:
                 )
                 t0 = time.perf_counter()
                 stats = self.step_fn(seed, p.snr_db)
-                frames = int(np.sum(np.asarray(stats.frames)))
-                p.wall_s += time.perf_counter() - t0
-                p.frames += frames
-                p.frame_errors += int(np.sum(np.asarray(stats.frame_errors)))
-                p.bit_errors += int(np.sum(np.asarray(stats.bit_errors)))
-                p.info_bits += int(np.sum(np.asarray(stats.info_bits)))
-                p.iterations += int(np.sum(np.asarray(stats.iterations)))
-                p.unconverged += int(np.sum(np.asarray(stats.unconverged)))
-                self.steps_done[i] += 1
+                self._accumulate(i, stats, time.perf_counter() - t0)
                 steps_since_ckpt += 1
                 if progress:
                     progress(i, p)
+                if steps_since_ckpt >= checkpoint_every:
+                    self.save()
+                    steps_since_ckpt = 0
+        self.save()
+        return self.points
+
+    def _run_grouped(self, checkpoint_every: int, progress) -> List[PointStats]:
+        """Grouped stepping: every step simulates ``snr_group_size`` SNR
+        points at once (one per snr-mesh shard); a group keeps stepping
+        until ALL its points hit their stop criteria (finished members run
+        as filler, their extra stats discarded so resume points stay
+        deterministic)."""
+        gs = self.snr_group_size
+        groups = [list(range(g, min(g + gs, len(self.points))))
+                  for g in range(0, len(self.points), gs)]
+        steps_since_ckpt = 0
+        while not self.finished:
+            for gi, grp in enumerate(groups):
+                if all(self.point_finished(i) for i in grp):
+                    continue
+                seed = (
+                    self.config.seed * 1_000_003 + gi * 7919
+                    + self.steps_done[grp[0]]
+                )
+                # pad short tail groups by repeating the last point
+                snrs = [self.points[i].snr_db for i in grp]
+                snrs += [snrs[-1]] * (gs - len(grp))
+                t0 = time.perf_counter()
+                stats = self.step_fn(seed, snrs)
+                wall = time.perf_counter() - t0
+                for pos, i in enumerate(grp):
+                    if self.point_finished(i):
+                        self.steps_done[i] += 1  # keep group seeds aligned
+                        continue
+                    self._accumulate(i, stats, wall / len(grp), take=pos)
+                    if progress:
+                        progress(i, self.points[i])
+                steps_since_ckpt += 1
                 if steps_since_ckpt >= checkpoint_every:
                     self.save()
                     steps_since_ckpt = 0
@@ -183,7 +254,9 @@ class WaterfallCampaign:
     def write_csv(self, path: str) -> None:
         cols = [
             "snr_db", "frames", "frame_errors", "bit_errors", "info_bits",
-            "iterations", "unconverged", "fer", "ber", "avg_iters", "wall_s",
+            "iterations", "unconverged", "detected_errors",
+            "undetected_errors", "crc_rejected", "fer", "ber", "avg_iters",
+            "wall_s",
         ]
         with open(path, "w") as f:
             f.write(",".join(cols) + "\n")

@@ -55,13 +55,11 @@ def _make_code(args):
 
         return nr_code(z=args.z, bg=args.bg)
     if args.family == "dvbs2":
+        # the blessed constructor: EN 302 307 IRA structure in z=360 QC
+        # form — O(n) accumulator encode, fused z-lane Pallas kernel on TPU
         from .codes import dvbs2
 
         return dvbs2(args.n, args.rate)
-    if args.family == "dvbs2_qc":
-        from .codes.dvbs2 import dvbs2_ira_qc
-
-        return dvbs2_ira_qc(args.n, args.rate)
     raise SystemExit(f"unknown family {args.family}")
 
 
@@ -110,19 +108,28 @@ def cmd_waterfall(args) -> int:
         max_iters=args.max_iters,
         normalization=args.normalization,
         msg_dtype=getattr(args, "msg_dtype", "float32"),
+        crc=getattr(args, "crc", None),
     )
     snr_grid = _parse_snr_grid(args.snr)
 
     n_dev = len(jax.devices())
-    mesh = make_mesh((n_dev,), ("data",))
+    snr_shards = max(1, getattr(args, "snr_shards", 1))
+    if n_dev % snr_shards:
+        raise SystemExit(
+            f"--snr-shards {snr_shards} must divide device count {n_dev}"
+        )
+    if snr_shards > 1:
+        # the BASELINE config-5 layout: SNR points across one mesh axis,
+        # codeword batch across the other
+        mesh = make_mesh((snr_shards, n_dev // snr_shards), ("snr", "data"))
+    else:
+        mesh = make_mesh((n_dev,), ("data",))
+    data_devs = n_dev // snr_shards
     encode_fn = None
     decode_fn = None
     if args.family == "dvbs2":
-        encode_fn = code.encode_fn()
-        decode_fn = make_decode_fn(code, cfg)
-    elif args.family == "dvbs2_qc":
-        # QC (z=360) EN 302 307 form: O(n) accumulator encoder + the
-        # implementation-dispatched decoder (z-lane fused kernel on TPU)
+        # O(n) accumulator encoder; the decoder comes from the standard
+        # implementation dispatch (z-lane fused kernel on TPU)
         from .codes.dvbs2 import ira_encode_fn
 
         encode_fn = ira_encode_fn(code)
@@ -132,16 +139,18 @@ def cmd_waterfall(args) -> int:
         encode_fn = triangular_encode_fn(code)
     step = make_sharded_campaign_step(
         code, cfg, mesh,
-        batch_per_device=max(1, args.batch // n_dev),
-        num_snr=1,
+        batch_per_device=max(1, args.batch // data_devs),
+        num_snr=snr_shards,
         encode_fn=encode_fn,
         decode_fn=decode_fn,
+        snr_axis="snr" if snr_shards > 1 else None,
     )
     step = jax.jit(step)
 
     def step_fn(seed, snr_db):
+        snrs = snr_db if isinstance(snr_db, (list, tuple)) else [snr_db]
         stats = step(
-            jax.random.PRNGKey(seed), jnp.asarray([snr_db], jnp.float32)
+            jax.random.PRNGKey(seed), jnp.asarray(snrs, jnp.float32)
         )
         return jax.tree.map(np.asarray, stats)
 
@@ -152,12 +161,13 @@ def cmd_waterfall(args) -> int:
         max_frames=args.max_frames,
         seed=args.seed,
     )
-    fp = ccfg.fingerprint(code.name, repr(cfg))
+    fp = ccfg.fingerprint(code.name, repr(cfg) + f"/snr_shards={snr_shards}")
     camp = WaterfallCampaign(
         ccfg, step_fn,
-        frames_per_step=max(1, args.batch // n_dev) * n_dev,
+        frames_per_step=max(1, args.batch // data_devs) * data_devs,
         fingerprint=fp,
         checkpoint_path=args.checkpoint,
+        snr_group_size=snr_shards,
     )
 
     def progress(i, p):
@@ -176,9 +186,14 @@ def cmd_waterfall(args) -> int:
         else:
             camp.write_csv(args.out)
     for p in camp.points:
+        split = ""
+        if p.frame_errors:
+            split = (f" det/undet={p.detected_errors}/{p.undetected_errors}"
+                     + (f" crc_rej={p.crc_rejected}" if args.crc else ""))
         print(
             f"snr={p.snr_db:+.2f} frames={p.frames} FER={p.fer:.4e} "
             f"BER={p.ber:.4e} (+-{p.fer_ci95():.1e}) iters={p.avg_iters:.2f}"
+            + split
         )
     return 0
 
@@ -226,8 +241,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     w = sub.add_parser("waterfall", help="BER/FER waterfall campaign")
     w.add_argument("--family", default="wimax",
-                   choices=["wimax", "wifi", "regular", "nr", "dvbs2",
-                            "dvbs2_qc"])
+                   choices=["wimax", "wifi", "regular", "nr", "dvbs2"])
     w.add_argument("--n", type=int, default=576)
     w.add_argument("--rate", default="1/2")
     w.add_argument("--z", type=int, default=384, help="NR lifting size")
@@ -243,6 +257,16 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--msg-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="decoder message precision (bfloat16 halves VMEM)")
+    w.add_argument("--crc", default=None,
+                   choices=["24A", "24B", "24C", "16"],
+                   help="CRC-aided acceptance (TS 38.212 §5.1): attach this "
+                        "CRC to each simulated code block and require "
+                        "syndrome AND CRC for frame acceptance")
+    w.add_argument("--snr-shards", type=int, default=1,
+                   help="shard the SNR grid over this many mesh shards "
+                        "(must divide the device count): groups of N SNR "
+                        "points run simultaneously on an (snr x data) mesh "
+                        "— the BASELINE config-5 layout")
     w.add_argument("--target-errors", type=int, default=100)
     w.add_argument("--max-frames", type=int, default=1_000_000)
     w.add_argument("--seed", type=int, default=0)

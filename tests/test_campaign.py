@@ -75,3 +75,59 @@ def test_report_and_csv(tmp_path):
 def test_ci95():
     p = PointStats(1.0, frames=10_000, frame_errors=100)
     assert 0.001 < p.fer_ci95() < 0.01
+
+
+def _fake_group_step(fer_by_snr, group):
+    """Grouped fake step: stats arrays with a leading [group] axis."""
+
+    def step(seed, snrs):
+        assert isinstance(snrs, list) and len(snrs) == group
+        fes = np.array([int(round(fer_by_snr[float(s)] * 100)) for s in snrs],
+                       dtype=np.int64)
+        ones = np.full(group, 100, dtype=np.int64)
+        return SimStats(
+            frames=ones, frame_errors=fes, bit_errors=fes * 3,
+            info_bits=ones * 432, iterations=ones * 5, unconverged=fes,
+            undetected_errors=np.zeros(group, np.int64),
+            crc_rejected=np.zeros(group, np.int64),
+        )
+
+    return step
+
+
+def test_grouped_snr_stepping(tmp_path):
+    """snr_group_size > 1: groups of SNR points step together (the
+    snr-sharded mesh layout); per-point stopping still honored, finished
+    points run as discarded filler, checkpoint resume works."""
+    fers = {1.0: 0.5, 2.0: 0.1, 3.0: 0.0, 4.0: 0.0}
+    cfg = CampaignConfig(snr_db=[1.0, 2.0, 3.0, 4.0], min_frame_errors=50,
+                         max_frames=500)
+    ck = str(tmp_path / "g.json")
+    camp = WaterfallCampaign(cfg, _fake_group_step(fers, 2), 100,
+                             fingerprint="g", checkpoint_path=ck,
+                             snr_group_size=2)
+    pts = camp.run()
+    # point 1.0 stops at 50 errors (1 step); 2.0 runs to 500 frames in the
+    # same group; 3.0/4.0 run to max_frames
+    assert pts[0].frame_errors == 50 and pts[0].frames == 100
+    assert pts[1].frames == 500 and pts[1].frame_errors == 50
+    assert pts[2].frames == 500 and pts[3].frames == 500
+    # group seeds stay aligned: finished member advanced its step counter
+    assert camp.steps_done[0] == camp.steps_done[1]
+    # resume is a no-op once finished
+    camp2 = WaterfallCampaign(cfg, _fake_group_step(fers, 2), 100,
+                              fingerprint="g", checkpoint_path=ck,
+                              snr_group_size=2)
+    assert camp2.finished
+
+
+def test_grouped_tail_padding():
+    """A grid not divisible by the group size pads the last group by
+    repeating its last point; padded results are discarded."""
+    fers = {1.0: 0.0, 2.0: 0.0, 3.0: 0.0}
+    cfg = CampaignConfig(snr_db=[1.0, 2.0, 3.0], min_frame_errors=10,
+                         max_frames=200)
+    camp = WaterfallCampaign(cfg, _fake_group_step(fers, 2), 100,
+                             snr_group_size=2)
+    pts = camp.run()
+    assert all(p.frames == 200 for p in pts)

@@ -48,3 +48,28 @@ def test_waterfall_smoke(tmp_path, capsys):
     assert len(lines) == 2 and lines[0].startswith("snr_db,")
     state = json.loads(ck.read_text())
     assert state["points"][0]["frames"] >= 16
+
+
+def test_waterfall_snr_shards(tmp_path):
+    """--snr-shards runs SNR points simultaneously on an (snr x data) mesh
+    (the conftest provides 8 virtual CPU devices)."""
+    out_csv = tmp_path / "wf_shards.csv"
+    rc = main([
+        "waterfall", "--family", "wimax", "--n", "576", "--rate", "1/2",
+        "--snr", "4,5", "--batch", "8", "--target-errors", "1",
+        "--max-frames", "16", "--snr-shards", "2", "--out", str(out_csv),
+    ])
+    assert rc == 0
+    lines = out_csv.read_text().strip().split("\n")
+    assert len(lines) == 3
+    # both points simulated the full budget (clean at 4-5 dB)
+    for row in lines[1:]:
+        assert int(row.split(",")[1]) >= 16
+
+
+def test_waterfall_snr_shards_must_divide():
+    with pytest.raises(SystemExit):
+        main([
+            "waterfall", "--family", "wimax", "--snr", "4,5",
+            "--batch", "8", "--max-frames", "8", "--snr-shards", "3",
+        ])
