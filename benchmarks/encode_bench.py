@@ -41,7 +41,12 @@ def _emit(rec):
         f.write(line + "\n")
 
 
-def bench_encode(name, encode_fn, k, n, batch, n_pipe=16, rounds=3):
+def bench_encode(name, encode_fn, k, n, batch, n_pipe=64, rounds=3):
+    """Two-depth pipelined measurement: the emitted ``fit`` carries the
+    depth-independent marginal encode rate (bits-per-dispatch / slope);
+    the round rate at shallow depths is dominated by the tunnel's fixed
+    ~25 ms round cost and UNDERSTATES the chip (the round-2 "1.08 Gbit/s
+    wimax encode" row was exactly this artifact)."""
     import jax
     import jax.numpy as jnp
 
@@ -52,27 +57,46 @@ def bench_encode(name, encode_fn, k, n, batch, n_pipe=16, rounds=3):
         c = encode_fn(u)
         return jnp.sum(c.astype(jnp.int32))
 
-    us = [jax.device_put(jnp.asarray(
+    def timed(depth):
+        # fresh random inputs per depth (the tunnel caches identical
+        # requests); staged per round to bound HBM
+        times, aggs = [], []
+        for r in range(rounds):
+            us = [jax.device_put(jnp.asarray(
+                rng.integers(0, 2, size=(batch, k), dtype=np.uint8)))
+                for _ in range(depth)]
+            jax.block_until_ready(us)
+            t0 = time.perf_counter()
+            outs = [one(u) for u in us]
+            final = np.asarray(jnp.stack(outs))  # single transfer = sync
+            times.append(time.perf_counter() - t0)
+            aggs.append(int(final.sum()))
+        dt = sorted(times)[len(times) // 2]
+        return dt, aggs[int(np.argsort(times)[len(times) // 2])]
+
+    # warm: compile + one throwaway round
+    u0 = jax.device_put(jnp.asarray(
         rng.integers(0, 2, size=(batch, k), dtype=np.uint8)))
-        for _ in range(n_pipe * rounds + 1)]
-    jax.block_until_ready(us)
-    warm = np.asarray(jnp.stack([one(us[-1]) for _ in range(n_pipe)]))
-    times, aggs = [], []
-    for r in range(rounds):
-        t0 = time.perf_counter()
-        outs = [one(us[r * n_pipe + i]) for i in range(n_pipe)]
-        final = np.asarray(jnp.stack(outs))  # single transfer = sync point
-        times.append(time.perf_counter() - t0)
-        aggs.append(int(final.sum()))
-    dt = sorted(times)[len(times) // 2]
+    np.asarray(jnp.stack([one(u0) for _ in range(4)]))
+
+    n_lo = max(1, n_pipe // 4)
+    dt, ones = timed(n_pipe)
+    dt_lo, _ = timed(n_lo)
+    slope = (dt - dt_lo) / (n_pipe - n_lo)
+    fixed = dt - slope * n_pipe
     frames = n_pipe * batch
     # sanity: total ones must be plausible for random data (~n/2 per frame)
-    ones = aggs[int(np.argsort(times)[len(times) // 2])]
     frac = ones / (frames * n)
     assert 0.35 < frac < 0.65, f"{name}: encoded bit density {frac} off"
     _emit({
         "config": "enc", "name": name,
         "encoded_info_mbits": round(frames * k / dt / 1e6, 1),
+        "fit": {
+            "fixed_ms": round(fixed * 1e3, 3),
+            "per_dispatch_ms": round(slope * 1e3, 4),
+            "marginal_mbits": round(batch * k / slope / 1e6, 1),
+            "depths": [n_lo, n_pipe],
+        },
         "round_ms": round(dt * 1e3, 3), "frames_per_round": frames,
         "pipelined_dispatches": n_pipe, "batch": batch,
         "k": k, "n": n,
@@ -107,7 +131,7 @@ def main():
         code = dvbs2_ira_qc(64800, "1/2")
         enc = jax.jit(ira_encode_fn(code))
         bench_encode("encode_dvbs2_64800_r12_ira", enc, code.k, code.n,
-                     batch=1024, n_pipe=8)
+                     batch=1024, n_pipe=32)
 
 
 if __name__ == "__main__":

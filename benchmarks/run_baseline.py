@@ -33,6 +33,68 @@ def _emit(rec):
         f.write(line + "\n")
 
 
+def _pipe_rounds(one, make_input, n_pipe, rounds=3, warm=True):
+    """Time ``rounds`` pipelined rounds of ``n_pipe`` dispatches each.
+
+    ``make_input(i)`` must return a DISTINCT device input for every global
+    dispatch index i (the tunnel's execute path caches results of repeated
+    identical requests).  Inputs for one round are staged on device before
+    its timed region; the sync point is a single host transfer of the
+    stacked per-dispatch counters (block_until_ready under-blocks through
+    the dev tunnel — BENCH_NOTES round-2 methodology revision).  Returns
+    (median round seconds, counter aggregate of the median round).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if warm:
+        w = make_input(-1)
+        jax.block_until_ready(w)
+        np.asarray(jnp.stack([one(w) for _ in range(min(n_pipe, 4))]))
+    times, aggs = [], []
+    for r in range(rounds):
+        ins = [make_input(r * n_pipe + i) for i in range(n_pipe)]
+        jax.block_until_ready(ins)
+        t0 = time.perf_counter()
+        outs = [one(x) for x in ins]
+        final = np.asarray(jnp.stack(outs))  # single transfer = sync point
+        times.append(time.perf_counter() - t0)
+        aggs.append(final.sum(axis=0))
+        del ins  # free HBM before staging the next round
+    dt = sorted(times)[len(times) // 2]
+    agg = aggs[int(np.argsort(times)[len(times) // 2])]
+    return dt, agg
+
+
+def _depth_fit(one, make_input, n_pipe, bits_per_dispatch, rounds=3,
+               offset=1_000_000):
+    """Two-depth linear fit round_s = fixed + slope * n_pipe.
+
+    The deep-pipeline throughput keeps rising with depth because the fixed
+    per-round cost (tunnel RPC + readback) is amortized — a methodology
+    artifact.  The depth-independent chip rate is the SLOPE: marginal
+    Mbit/s = bits_per_dispatch / slope.  Measures a second, shallow depth
+    (n_pipe // 4) with fresh inputs (cache!) and returns the fit dict
+    every pipelined record should carry.
+    """
+    n_lo = max(1, n_pipe // 4)
+    dt_lo, _ = _pipe_rounds(
+        one, lambda i: make_input(offset + i), n_lo, rounds, warm=False
+    )
+    return dt_lo, n_lo
+
+
+def _fit_record(dt_hi, n_hi, dt_lo, n_lo, bits_per_dispatch):
+    slope = (dt_hi - dt_lo) / (n_hi - n_lo)
+    fixed = dt_hi - slope * n_hi
+    return {
+        "fixed_ms": round(fixed * 1e3, 3),
+        "per_dispatch_ms": round(slope * 1e3, 4),
+        "marginal_mbits": round(bits_per_dispatch / slope / 1e6, 1),
+        "depths": [n_lo, n_hi],
+    }
+
+
 def _throughput(decode, llr_devs, k_info, batch):
     """Median decode throughput over DISTINCT input batches.
 
@@ -140,29 +202,69 @@ def config1g():
             jnp.sum(jnp.where(ferr & res.converged, 1, 0)),
         ])
 
-    n_pipe, rounds = 64, 3
-    llrs = [make_llr(jax.random.PRNGKey(1000 + i))
-            for i in range(n_pipe * rounds + 1)]
-    jax.block_until_ready(llrs)
-    warm = np.asarray(jnp.stack([one(llrs[-1], u_dev) for _ in range(n_pipe)]))
-    times, aggs = [], []
-    for r in range(rounds):
-        t0 = time.perf_counter()
-        outs = [one(llrs[r * n_pipe + i], u_dev) for i in range(n_pipe)]
-        final = np.asarray(jnp.stack(outs))  # single transfer = sync point
-        times.append(time.perf_counter() - t0)
-        aggs.append(final.sum(axis=0))
-    dt = sorted(times)[len(times) // 2]
-    agg = aggs[int(np.argsort(times)[len(times) // 2])]
+    n_pipe = 64
+    one_fn = lambda llr: one(llr, u_dev)
+    make_input = lambda i: make_llr(jax.random.PRNGKey(1000 + i))
+    dt, agg = _pipe_rounds(one_fn, make_input, n_pipe)
+    dt_lo, n_lo = _depth_fit(one_fn, make_input, n_pipe, batch * code.k_info)
     frames = n_pipe * batch
     it, cv, fe, ue = (int(x) for x in agg)
     _emit({
         "config": "1g", "name": "regular36_n648_sp_b64_2dB_grouped",
         "throughput_mbits": round(frames * code.k_info / dt / 1e6, 3),
+        "fit": _fit_record(dt, n_pipe, dt_lo, n_lo, batch * code.k_info),
         "round_ms": round(dt * 1e3, 3), "frames_per_round": frames,
         "pipelined_dispatches": n_pipe,
         "conv_rate": round(cv / frames, 4), "fer": round(fe / frames, 4),
         "undetected_errors": ue,
+        "mean_iters": round(it / frames, 2),
+        "impl": dec.implementation,
+    })
+
+
+def config1c():
+    """Config-1 operating point with CRC-16-aided acceptance: the ~10% of
+    frames that converge to a WRONG codeword at 2 dB (config 1's
+    undetected_errors) must be caught by the CRC (undetected -> 0) and
+    reported as crc_rejected.  Runs the real dispatch path (fused kernel +
+    ops/crc_accept.py wrapper on TPU)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from myldpccppapi_tpu import DecoderConfig
+    from myldpccppapi_tpu.codes import regular
+    from myldpccppapi_tpu.parallel.sim import sim_step
+
+    code = regular(648)
+    cfg = DecoderConfig(algorithm="sum-product", schedule="flooding",
+                        crc="16")
+    from myldpccppapi_tpu.parallel.sim import make_decode_fn
+
+    dec = make_decode_fn(code, cfg)
+    step = jax.jit(partial(sim_step, code, cfg, batch=64, decode_fn=dec))
+    snr = jnp.float32(2.0)
+
+    @jax.jit
+    def one(key):
+        s = step(key, snr)
+        return jnp.stack([s.frames, s.frame_errors, s.undetected_errors,
+                          s.crc_rejected, s.unconverged, s.iterations])
+
+    n_pipe = 64
+    make_input = lambda i: jax.random.PRNGKey(2000 + i)
+    dt, agg = _pipe_rounds(one, make_input, n_pipe)
+    frames, fe, ue, cr, uc, it = (int(x) for x in agg)
+    _emit({
+        "config": "1c", "name": "regular36_n648_sp_b64_2dB_crc16",
+        "throughput_mbits": round(frames * code.k_info / dt / 1e6, 3),
+        "round_ms": round(dt * 1e3, 3), "frames_per_round": frames,
+        "pipelined_dispatches": n_pipe,
+        "fer": round(fe / frames, 4),
+        "detected_errors": fe - ue,
+        "undetected_errors": ue,
+        "crc_rejected": cr,
+        "unconverged": uc,
         "mean_iters": round(it / frames, 2),
         "impl": dec.implementation,
     })
@@ -210,28 +312,19 @@ def config2():
         return jnp.stack([jnp.sum(res.iterations),
                           jnp.sum(jnp.where(res.converged, 1, 0)), berr])
 
-    # depth sweep (results.jsonl config "2p"): round_ms ~= 24.5 + N*1.19,
-    # so deep pipelines amortize the tunnel latency; N=64 reaches ~84% of
-    # the chip's asymptotic per-batch rate
-    n_pipe, rounds = 64, 3
-    llrs = [make_llr(jax.random.PRNGKey(1000 + i))
-            for i in range(n_pipe * rounds + 1)]
-    jax.block_until_ready(llrs)
-    warm = np.asarray(jnp.stack([one(llrs[-1], u_dev) for _ in range(n_pipe)]))
-    times, aggs = [], []
-    for r in range(rounds):
-        t0 = time.perf_counter()
-        outs = [one(llrs[r * n_pipe + i], u_dev) for i in range(n_pipe)]
-        final = np.asarray(jnp.stack(outs))  # single transfer = sync point
-        times.append(time.perf_counter() - t0)
-        aggs.append(final.sum(axis=0))
-    dt = sorted(times)[len(times) // 2]
-    agg = aggs[int(np.argsort(times)[len(times) // 2])]
+    # deep pipelines amortize the tunnel's fixed round cost; the fit
+    # reports the depth-independent chip rate (marginal_mbits = slope⁻¹)
+    n_pipe = 64
+    one_fn = lambda llr: one(llr, u_dev)
+    make_input = lambda i: make_llr(jax.random.PRNGKey(1000 + i))
+    dt, agg = _pipe_rounds(one_fn, make_input, n_pipe)
+    dt_lo, n_lo = _depth_fit(one_fn, make_input, n_pipe, batch * code.k)
     frames = n_pipe * batch
     iters_sum, conv_sum, berr = (int(x) for x in agg)
     _emit({
         "config": 2, "name": "wifi1944_r56_nms_b4096",
         "throughput_mbits": round(frames * code.k / dt / 1e6, 3),
+        "fit": _fit_record(dt, n_pipe, dt_lo, n_lo, batch * code.k),
         "round_ms": round(dt * 1e3, 3), "frames_per_round": frames,
         "pipelined_dispatches": n_pipe,
         "conv_rate": round(conv_sum / frames, 4),
@@ -244,10 +337,13 @@ def config2():
     })
 
 
-def config3(n=64800, batch=1024, snr_db=1.4, n_pipe=8, label=3):
-    """DVB-S2 rate-1/2 (EN 302 307 IRA structure), layered min-sum —
-    n=64800 batch 1024 is the long-code memory-layout stress (config 3);
-    n=16200 is the short-FECFRAME variant (config "3s").
+def config3(n=64800, batch=1024, snr_db=1.4, n_pipe=8, label=3, rate="1/2",
+            normalization=0.85, max_iters=30):
+    """DVB-S2 (EN 302 307 IRA structure), layered min-sum —
+    n=64800 r1/2 batch 1024 is the long-code memory-layout stress
+    (config 3); n=16200 is the short-FECFRAME variant (config "3s");
+    r3/4 ("3h") stresses the z-lane kernel's densest layers (the
+    widest-layer VMEM estimate and multi-edge handling).
 
     Methodology (BENCH_NOTES "pipelined dispatch"): N=8 independent
     1024-frame decode dispatches with DISTINCT pre-staged on-device LLR
@@ -265,7 +361,7 @@ def config3(n=64800, batch=1024, snr_db=1.4, n_pipe=8, label=3):
     from myldpccppapi_tpu import Decoder, DecoderConfig
     from myldpccppapi_tpu.codes.dvbs2 import dvbs2_ira_qc, ira_encode_numpy
 
-    code = dvbs2_ira_qc(n, "1/2")
+    code = dvbs2_ira_qc(n, rate)
     rng = np.random.default_rng(0)
     u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
     cw = ira_encode_numpy(code, u)
@@ -280,8 +376,8 @@ def config3(n=64800, batch=1024, snr_db=1.4, n_pipe=8, label=3):
     # pass runs only when the roll-free on-the-fly pre-check fires;
     # converged => valid codeword still guaranteed.
     dec = Decoder(
-        code, DecoderConfig(schedule="layered", normalization=0.85,
-                            max_iters=30, syndrome_mode="lazy")
+        code, DecoderConfig(schedule="layered", normalization=normalization,
+                            max_iters=max_iters, syndrome_mode="lazy")
     )
 
     @jax.jit
@@ -298,30 +394,21 @@ def config3(n=64800, batch=1024, snr_db=1.4, n_pipe=8, label=3):
         return jnp.stack([jnp.sum(res.iterations),
                           jnp.sum(jnp.where(res.converged, 1, 0)), berr])
 
-    rounds = 3
     # every timed dispatch sees a distinct noise realization (the tunnel
-    # caches results of identical requests)
-    llrs = [make_llr(jax.random.PRNGKey(1000 + i))
-            for i in range(n_pipe * rounds + 1)]
-    jax.block_until_ready(llrs)
-    # warm round: compiles decode AND the counter-stack program; its
-    # (repeated) input is never re-timed
-    warm = np.asarray(jnp.stack([one(llrs[-1], u_dev) for _ in range(n_pipe)]))
-    times, aggs = [], []
-    for r in range(rounds):
-        t0 = time.perf_counter()
-        outs = [one(llrs[r * n_pipe + i], u_dev) for i in range(n_pipe)]
-        final = np.asarray(jnp.stack(outs))  # single transfer = sync point
-        times.append(time.perf_counter() - t0)
-        aggs.append(final.sum(axis=0))
-    dt = sorted(times)[len(times) // 2]
-    agg = aggs[int(np.argsort(times)[len(times) // 2])]
+    # caches results of identical requests); per-round staging keeps the
+    # HBM footprint at one round of [batch, n] buffers
+    one_fn = lambda llr: one(llr, u_dev)
+    make_input = lambda i: make_llr(jax.random.PRNGKey(1000 + i))
+    dt, agg = _pipe_rounds(one_fn, make_input, n_pipe)
+    dt_lo, n_lo = _depth_fit(one_fn, make_input, n_pipe, batch * code.k)
     frames = n_pipe * batch
     iters_sum, conv_sum, berr = (int(x) for x in agg)
     mbits = frames * code.k / dt / 1e6
     _emit({
-        "config": label, "name": f"dvbs2ira_{n}_r12_layered_b{batch}",
+        "config": label,
+        "name": f"dvbs2ira_{n}_r{rate.replace('/', '')}_layered_b{batch}",
         "throughput_mbits": round(mbits, 3),
+        "fit": _fit_record(dt, n_pipe, dt_lo, n_lo, batch * code.k),
         "round_ms": round(dt * 1e3, 3), "frames_per_round": frames,
         "pipelined_dispatches": n_pipe,
         "snr_db": snr_db,
@@ -340,8 +427,19 @@ def config3s():
     config3(n=16200, batch=4096, snr_db=2.0, n_pipe=8, label="3s")
 
 
-def config4():
-    """NR-style BG1 Z=384, rate-matched LLR puncturing, multi-SNR sweep.
+def config3h():
+    """DVB-S2 n=64800 r3/4 (high rate): q=45 layers of ~2x the r1/2 row
+    density stress the z-lane kernel's widest-layer VMEM estimate and
+    multi-edge blocks.  Operating point per the measured waterfall
+    (benchmarks/waterfall_dvbs2_64800_r34_tpu.csv)."""
+    config3(n=64800, batch=1024, snr_db=4.2, n_pipe=8, label="3h",
+            rate="3/4")
+
+
+def config4(z=384, bg=1, batch=512, label=4, sweep=None):
+    """NR-style BG1 Z=384, rate-matched LLR puncturing, multi-SNR sweep
+    (config 4); BG2 at the same lifting is config "4b" (the second base
+    graph: 42x52, rate ~1/5 mother code).
 
     Pipelined-dispatch methodology per SNR point (see config3/BENCH_NOTES).
     """
@@ -353,10 +451,9 @@ def config4():
         nr_code, rate_match_bits, rate_match_llr, triangular_encode_fn,
     )
 
-    code = nr_code(z=384, bg=1)
+    code = nr_code(z=z, bg=bg)
     enc = jax.jit(triangular_encode_fn(code))
     rng = np.random.default_rng(0)
-    batch = 512
     e = code.n - code.punctured_front  # full buffer, rv0
     u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
     cw = np.asarray(enc(jnp.asarray(u)))
@@ -379,29 +476,20 @@ def config4():
             return rate_match_llr(code, 2.0 * (tx_sym + noise) / (sigma * sigma), e)
         return make_llr
 
-    n_pipe, rounds = 32, 3
-    sweep = [3.0, 4.0, 5.0, 6.0]
+    n_pipe = 32
+    sweep = sweep or [3.0, 4.0, 5.0, 6.0]
     rows = []
     for snr_db in sweep:
         make_llr = make_llr_fn(10 ** (-snr_db / 20))
-        llrs = [make_llr(jax.random.PRNGKey(1000 + i), tx_dev)
-                for i in range(n_pipe * rounds + 1)]
-        jax.block_until_ready(llrs)
-        warm = np.asarray(jnp.stack([one(llrs[-1]) for _ in range(n_pipe)]))
-        times, aggs = [], []
-        for r in range(rounds):
-            t0 = time.perf_counter()
-            outs = [one(llrs[r * n_pipe + i]) for i in range(n_pipe)]
-            final = np.asarray(jnp.stack(outs))
-            times.append(time.perf_counter() - t0)
-            aggs.append(final.sum(axis=0))
-        dt = sorted(times)[len(times) // 2]
-        agg = aggs[int(np.argsort(times)[len(times) // 2])]
+        make_input = lambda i: make_llr(jax.random.PRNGKey(1000 + i), tx_dev)
+        dt, agg = _pipe_rounds(one, make_input, n_pipe)
+        dt_lo, n_lo = _depth_fit(one, make_input, n_pipe, batch * code.k)
         frames = n_pipe * batch
         iters_sum, conv_sum = (int(x) for x in agg)
         rows.append({
             "snr_db": snr_db,
             "throughput_mbits": round(frames * code.k / dt / 1e6, 3),
+            "fit": _fit_record(dt, n_pipe, dt_lo, n_lo, batch * code.k),
             "round_ms": round(dt * 1e3, 3),
             "frames_per_round": frames,
             "pipelined_dispatches": n_pipe,
@@ -409,8 +497,67 @@ def config4():
             "mean_iters": round(iters_sum / frames, 2),
         })
     _emit({
-        "config": 4, "name": "nr_bg1_z384_rate_matched_sweep",
+        "config": label, "name": f"nr_bg{bg}_z{z}_rate_matched_sweep",
         "impl": dec.implementation, "sweep": rows,
+    })
+
+
+def config4b():
+    """NR BG2 at the design lifting Z=384 (n=19200, k=3840 before CRC):
+    the low-rate base graph exercises different row degrees and the
+    BG2-specific puncture/parity split.  Operating points per the measured
+    waterfall (benchmarks/waterfall_nr_bg2_z384_tpu.csv)."""
+    config4(z=384, bg=2, batch=1024, label="4b", sweep=[-2.0, -1.0, 0.0])
+
+
+def config4c():
+    """Config-4 code (NR BG1 Z=384) with the full TS 38.212 §5.1 receive
+    flow: CRC24B attached to each code block, acceptance = syndrome AND
+    CRC (fused kernel + crc_accept wrapper), detected/undetected split
+    reported.  Measures the steady-state cost of CRC-aided acceptance on
+    the production dispatch path at a clean operating point."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from myldpccppapi_tpu import DecoderConfig
+    from myldpccppapi_tpu.codes.nr import nr_code, triangular_encode_fn
+    from myldpccppapi_tpu.parallel.sim import make_decode_fn, sim_step
+
+    code = nr_code(z=384, bg=1)
+    batch = 512
+    cfg = DecoderConfig(schedule="layered", normalization=0.8, max_iters=30,
+                        crc="24B")
+    dec = make_decode_fn(code, cfg)
+    enc = triangular_encode_fn(code)
+    step = jax.jit(partial(sim_step, code, cfg, batch=batch,
+                           encode_fn=enc, decode_fn=dec))
+    snr = jnp.float32(5.0)
+
+    @jax.jit
+    def one(key):
+        s = step(key, snr)
+        return jnp.stack([s.frames, s.frame_errors, s.undetected_errors,
+                          s.crc_rejected, s.unconverged, s.iterations])
+
+    n_pipe = 32
+    make_input = lambda i: jax.random.PRNGKey(3000 + i)
+    dt, agg = _pipe_rounds(one, make_input, n_pipe)
+    dt_lo, n_lo = _depth_fit(one, make_input, n_pipe, batch * code.k)
+    frames, fe, ue, cr, uc, it = (int(x) for x in agg)
+    _emit({
+        "config": "4c", "name": "nr_bg1_z384_crc24b_5dB",
+        "throughput_mbits": round(frames * code.k / dt / 1e6, 3),
+        "fit": _fit_record(dt, n_pipe, dt_lo, n_lo, batch * code.k),
+        "round_ms": round(dt * 1e3, 3), "frames_per_round": frames,
+        "pipelined_dispatches": n_pipe,
+        "fer": round(fe / frames, 6),
+        "detected_errors": fe - ue,
+        "undetected_errors": ue,
+        "crc_rejected": cr,
+        "unconverged": uc,
+        "mean_iters": round(it / frames, 2),
+        "impl": dec.implementation,
     })
 
 
@@ -426,10 +573,9 @@ def config5():
     import jax.numpy as jnp
 
     from myldpccppapi_tpu import DecoderConfig
-    from myldpccppapi_tpu.codes import dvbs2
+    from myldpccppapi_tpu.codes import dvbs2, ira_encode_fn
     from myldpccppapi_tpu.codes.nr import nr_code, triangular_encode_fn
     from myldpccppapi_tpu.parallel import make_mesh, make_sharded_campaign_step
-    from myldpccppapi_tpu.parallel.sim import make_decode_fn
 
     n_dev = len(jax.devices())
     mesh = make_mesh((2, n_dev // 2), ("host", "data"), devices=jax.devices()[: 2 * (n_dev // 2)])
@@ -443,10 +589,9 @@ def config5():
         cfg = DecoderConfig(schedule="layered", normalization=0.8, max_iters=25)
         if fam.startswith("nr"):
             enc_fn = triangular_encode_fn(code)
-            dec_fn = None
         else:
-            enc_fn = code.encode_fn()
-            dec_fn = make_decode_fn(code, cfg)
+            enc_fn = ira_encode_fn(code)
+        dec_fn = None
         step = jax.jit(make_sharded_campaign_step(
             code, cfg, mesh, batch_per_device=8, num_snr=len(snr),
             encode_fn=enc_fn, decode_fn=dec_fn,
@@ -477,9 +622,11 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
-    fns = {"1": config1, "1g": config1g, "2": config2, "3": config3,
-           "3s": config3s, "4": config4, "5": config5}
-    wanted = args or ["1", "1g", "2", "3", "4", "5"]
+    fns = {"1": config1, "1g": config1g, "1c": config1c, "2": config2,
+           "3": config3, "3s": config3s, "3h": config3h, "4": config4,
+           "4b": config4b, "4c": config4c, "5": config5}
+    wanted = args or ["1", "1g", "1c", "2", "3", "3s", "3h", "4", "4b",
+                      "4c", "5"]
     for c in wanted:
         fns[c]()
 

@@ -19,6 +19,15 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight test (>10 s: zlane interpret runs, n=64800 "
+        'constructions, full rate grids) — excluded by -m "not slow" for '
+        "the ~5-min inner-loop subset; the full suite still runs them",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)

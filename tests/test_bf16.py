@@ -21,6 +21,7 @@ def case():
     return code, u, llr
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("algorithm", ["min-sum", "sum-product"])
 def test_bf16_decodes_and_paths_agree(case, algorithm):
     code, u, llr = case

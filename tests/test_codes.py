@@ -118,6 +118,7 @@ def test_gf2_singular_raises():
         gf2_inv(m)
 
 
+@pytest.mark.slow
 def test_wifi_roundtrip_each_length():
     """One end-to-end encode->AWGN->decode per 802.11n length."""
     import jax

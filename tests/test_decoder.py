@@ -108,6 +108,7 @@ def test_offset_minsum_runs():
     assert (np.asarray(res.bits)[:, : code.k] == u).all()
 
 
+@pytest.mark.slow
 def test_all_wimax_rates_decode():
     for rate in ["1/2", "2/3A", "2/3B", "3/4A", "3/4B", "5/6"]:
         code = wimax(576, rate)

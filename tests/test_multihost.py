@@ -1,3 +1,4 @@
+import pytest
 """Multi-process (N-host software path) campaign validation.
 
 Spawns REAL separate Python processes that form one JAX distributed job
@@ -19,6 +20,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPT = os.path.join(REPO, "benchmarks", "multihost.py")
 
 
+@pytest.mark.slow
 def test_two_process_campaign_bit_identical_to_single():
     out = subprocess.run(
         [sys.executable, SCRIPT, "--nproc", "2", "--local-devices", "2",

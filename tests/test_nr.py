@@ -80,6 +80,7 @@ def test_bg2_structure_and_encode(rng):
     assert code2.syndrome(c).sum() == 0
 
 
+@pytest.mark.slow
 def test_nr_end_to_end_decode(code, rng):
     """Full config-4 pipeline: encode -> rate match -> AWGN -> de-rate-match
     -> BP decode recovers the info bits (punctured bits included)."""
@@ -216,6 +217,7 @@ def test_nr_lifting_grid(bg, z):
     assert (c_j == c).all()
 
 
+@pytest.mark.slow
 def test_harq_rv_retransmission_e2e():
     """Full HARQ flow: an rv0 transmission of half the circular buffer
     fails at 2.5 dB; soft-combining the de-rate-matched LLRs of an rv2

@@ -1,3 +1,4 @@
+import pytest
 """Two-phase straggler triage must be bit-identical to single-pass decode."""
 import jax
 import jax.numpy as jnp
@@ -23,6 +24,7 @@ def _assert_same(r0, r1):
     assert (np.asarray(r0.iterations) == np.asarray(r1.iterations)).all()
 
 
+@pytest.mark.slow
 def test_triage_identical_at_operating_point():
     code = wimax(576, "3/4B")
     llr = _llr(code, 64, snr_db=4.5)
@@ -36,6 +38,7 @@ def test_triage_identical_at_operating_point():
     _assert_same(r0, r1)
 
 
+@pytest.mark.slow
 def test_triage_fallback_when_over_capacity():
     """Far below threshold (>cap frames fail fast pass) the wrapper must
     fall back to the full-batch decode and still match exactly."""
