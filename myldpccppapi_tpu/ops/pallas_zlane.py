@@ -63,7 +63,26 @@ __all__ = ["zlane_supported", "decode_qc_zlane", "zlane_vmem_bytes"]
 _LANE = 128
 _PAD_LLR = 1e4   # batch/lane padding: converges to all-zeros on iteration 1
 _Q_INF = 1e30    # masked-row q magnitude: the min-sum / phi identity
-_VMEM_BUDGET = 13 * 1024 * 1024  # v5e scoped VMEM is 16 MB; leave slack
+_VMEM_BUDGET = 13 * 1024 * 1024  # bf16 16-tile gate vs the 16 MB default
+#: Mosaic's stack for the unrolled sweep exceeds the storage estimate by up
+#: to ~1.55x (measured: DVB-S2 64800 r3/4 f32 needs 17.04 MB scoped where
+#: the storage model says 11.04 MB) — dense layers keep more per-edge
+#: temporaries live.  The kernel raises vmem_limit_bytes to the margined
+#: estimate; _VMEM_CEILING caps what we will request (r3/4 and r5/6 both
+#: compile AND run correctly at 24 MB on v5e — verified on chip).
+_VMEM_MARGIN = 1.6
+_VMEM_CEILING = 32 * 1024 * 1024
+_VMEM_DEFAULT_LIMIT = 16 * 1024 * 1024
+
+
+def _vmem_limit(code: QCCode, cfg: DecoderConfig) -> "int | None":
+    """vmem_limit_bytes to request: None when the default 16 MB scoped
+    limit suffices, else the margined estimate (a compile-time cap, not a
+    reservation — harmless when actual usage is lower)."""
+    need = int(zlane_vmem_bytes(code, cfg) * _VMEM_MARGIN) + (1 << 20)
+    if need <= _VMEM_DEFAULT_LIMIT:
+        return None
+    return min(need, _VMEM_CEILING)
 
 
 def _pad_z(z: int) -> int:
@@ -112,7 +131,9 @@ def zlane_supported(code, cfg: DecoderConfig) -> bool:
         return False
     if code.z < 64:  # below half a lane tile the layout wastes the VPU
         return False
-    return zlane_vmem_bytes(code, cfg) <= _VMEM_BUDGET
+    # margined estimate must fit the raisable scoped-VMEM ceiling
+    need = int(zlane_vmem_bytes(code, cfg) * _VMEM_MARGIN) + (1 << 20)
+    return need <= _VMEM_CEILING
 
 
 def _rel_roll(x: jax.Array, d: int, z: int, zp: int) -> jax.Array:
@@ -375,6 +396,9 @@ def decode_qc_zlane(code: QCCode, cfg: DecoderConfig, llr: jax.Array,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),  # tiles are independent
+            # dense codes (DVB-S2 high rates) need more than the 16 MB
+            # default scoped limit; see _vmem_limit
+            vmem_limit_bytes=_vmem_limit(code, cfg),
         ),
         interpret=interpret,
     )(chan)
