@@ -13,8 +13,18 @@ from .regular import regular
 from .nr import nr_code
 from .dvbs2 import dvbs2, dvbs2_ira_qc, dvbs2_oracle, ira_encode_fn
 from .crc import crc_attach_fn, crc_check_fn, crc_matrix, crc_numpy
+from .bch import (
+    bch_attach_fn,
+    bch_check_fn,
+    bch_correct,
+    bch_params_dvbs2,
+)
 
 __all__ = [
+    "bch_attach_fn",
+    "bch_check_fn",
+    "bch_correct",
+    "bch_params_dvbs2",
     "crc_attach_fn",
     "crc_check_fn",
     "crc_matrix",
