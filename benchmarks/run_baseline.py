@@ -507,7 +507,7 @@ def config4b():
     the low-rate base graph exercises different row degrees and the
     BG2-specific puncture/parity split.  Operating points per the measured
     waterfall (benchmarks/waterfall_nr_bg2_z384_tpu.csv)."""
-    config4(z=384, bg=2, batch=1024, label="4b", sweep=[-2.0, -1.0, 0.0])
+    config4(z=384, bg=2, batch=1024, label="4b", sweep=[-1.5, -1.0, 0.0])
 
 
 def config4c():

@@ -40,7 +40,7 @@ __all__ = ["Coder", "DECODE_TYPES", "make_codec"]
 
 def make_codec(family: str, n: int | None = None, rate: str = "1/2", *,
                z: int | None = None, bg: int = 1,
-               max_iters: int = 40) -> "Coder":
+               max_iters: int = 40, crc: str | None = None) -> "Coder":
     """Byte-stream :class:`Coder` for any supported code family.
 
     ==========  ==============================================  ===========
@@ -61,29 +61,29 @@ def make_codec(family: str, n: int | None = None, rate: str = "1/2", *,
     if family == "wimax":
         n = n or 576
         code = wimax(n, rate)
-        return Coder(code.k, n, rate, max_iters=max_iters)
+        return Coder(code.k, n, rate, max_iters=max_iters, crc=crc)
     if family == "wifi":
         from .codes.wifi import wifi
 
         code = wifi(n or 1296, rate)
-        return Coder(code=code, max_iters=max_iters)
+        return Coder(code=code, max_iters=max_iters, crc=crc)
     if family == "regular":
         from .codes.regular import regular
 
-        return Coder(code=regular(n or 648), max_iters=max_iters)
+        return Coder(code=regular(n or 648), max_iters=max_iters, crc=crc)
     if family == "nr":
         from .codes.nr import nr_code, triangular_encode_fn, triangular_encode_numpy
 
         code = nr_code(z=z or 384, bg=bg)
         enc_np = lambda u: triangular_encode_numpy(code, u)
-        return Coder(code=code, max_iters=max_iters,
+        return Coder(code=code, max_iters=max_iters, crc=crc,
                      encoders=(enc_np, triangular_encode_fn(code)))
     if family == "dvbs2":
         from .codes.dvbs2 import dvbs2_ira_qc, ira_encode_fn, ira_encode_numpy
 
         code = dvbs2_ira_qc(n or 64800, rate)
         enc_np = lambda u: ira_encode_numpy(code, u)
-        return Coder(code=code, max_iters=max_iters,
+        return Coder(code=code, max_iters=max_iters, crc=crc,
                      encoders=(enc_np, ira_encode_fn(code)))
     raise ValueError(
         f"unknown family {family!r}; choose from wimax, wifi, regular, nr, dvbs2"
@@ -111,12 +111,16 @@ class Coder:
 
     Streaming contract: the byte stream is chunked into ``k_info // 8``
     bytes per codeword (trailing info bits of a non-byte-aligned k — e.g.
-    802.11n n=648 rate 1/2, k=324 — are always zero).
+    802.11n n=648 rate 1/2, k=324 — are always zero).  With ``crc`` set,
+    the last L info bits carry the CRC (TS 38.212 §5.1 code-block layout):
+    ``encode`` attaches it, payload chunking shrinks to
+    ``(k_info - L) // 8`` bytes per codeword, and ``decode`` requires
+    syndrome AND CRC for acceptance (stats report the split).
     """
 
     def __init__(self, ldpc_k: int | None = None, ldpc_n: int | None = None,
                  rate: str | None = None, max_iters: int = 40, *,
-                 code=None, encoders=None):
+                 code=None, encoders=None, crc: str | None = None):
         if code is None:
             code = wimax(ldpc_n, rate)
             if code.k != ldpc_k:
@@ -128,7 +132,21 @@ class Coder:
         #: optional (numpy_fn, jnp_fn) pair: info bits [ncw, k_info] -> full
         #: codeword [ncw, n]; None = RU / generic information-set encoder
         self._custom_encoders = encoders
-        self._kb = self.code.k_info // 8
+        self.crc = crc
+        self._crc_len = 0
+        if crc is not None:
+            from .codes.crc import CRC_POLYS
+
+            if crc not in CRC_POLYS:
+                raise ValueError(
+                    f"unknown crc {crc!r}; choose from {sorted(CRC_POLYS)}"
+                )
+            self._crc_len = CRC_POLYS[crc][0]
+            if self.code.k_info <= self._crc_len + 8:
+                raise ValueError(
+                    f"CRC{crc} leaves no payload in k_info={self.code.k_info}"
+                )
+        self._kb = (self.code.k_info - self._crc_len) // 8
         self.max_iters = max_iters
         self._encoder: Encoder | None = None
         self._encode_np = None
@@ -152,11 +170,13 @@ class Coder:
             raise ValueError(f"unknown decode type {de_type!r}; choose from {sorted(DECODE_TYPES)}")
         if de_type == "CPU":
             return
+        import dataclasses
+
         cfg = DECODE_TYPES[de_type]
         if cfg.max_iters != self.max_iters and de_type != "MSCL":
-            import dataclasses
-
             cfg = dataclasses.replace(cfg, max_iters=self.max_iters)
+        if self.crc is not None:
+            cfg = dataclasses.replace(cfg, crc=self.crc)
         self._decoders[de_type] = Decoder(self.code, cfg)
 
     # -- size queries (same rounding contract as MyLdpc.cpp:620-631) -------
@@ -186,11 +206,21 @@ class Coder:
         padded[: len(src)] = src
         info_bits = unpack_bits_np(padded.reshape(ncw, kb))  # [ncw, kb*8]
         k_info = self.code.k_info
-        if k_info > kb * 8:  # non-byte-aligned k: trailing info bits are 0
+        k_msg = k_info - self._crc_len
+        if k_msg > kb * 8:  # non-byte-aligned k: trailing message bits are 0
             info_bits = np.concatenate(
                 [info_bits,
-                 np.zeros((ncw, k_info - kb * 8), dtype=info_bits.dtype)],
+                 np.zeros((ncw, k_msg - kb * 8), dtype=info_bits.dtype)],
                 axis=1,
+            )
+        if self.crc is not None:
+            # attach the CRC field (last L info bits, 38.212 layout)
+            from .codes.crc import crc_matrix
+
+            par = (info_bits.astype(np.int64)
+                   @ crc_matrix(k_msg, self.crc).astype(np.int64)) & 1
+            info_bits = np.concatenate(
+                [info_bits, par.astype(info_bits.dtype)], axis=1
             )
         if self._encode_np is not None:
             if ncw < 256 or self._encode_jit is None:
@@ -247,30 +277,52 @@ class Coder:
             if out is None:
                 out = golden.decode_golden(self.code, post, max_iters=self.max_iters)
             bits, conv, iters = out
+            accepted = None
+            if self.crc is not None:
+                # the golden decoder has no in-loop CRC; acceptance is the
+                # post-hoc syndrome AND CRC (no continuation)
+                accepted = conv & self._crc_ok_np(bits)
         else:
             if de_type not in self._decoders:
                 self.add_decode_type(de_type)
             dec = self._decoders[de_type]
             batch = self.batch_size or ncw
-            outs, convs, iterss = [], [], []
+            outs, convs, iterss, accs = [], [], [], []
             for off in range(0, ncw, batch):
                 chunk = post[off : off + batch]
                 res = dec(jnp.asarray(chunk))
                 outs.append(np.asarray(res.bits))
                 convs.append(np.asarray(res.converged))
                 iterss.append(np.asarray(res.iterations))
+                accs.append(np.asarray(res.ok))
             bits = np.concatenate(outs, axis=0)
             conv = np.concatenate(convs)
             iters = np.concatenate(iterss)
+            accepted = np.concatenate(accs) if self.crc is not None else None
         pos = np.asarray(self.code.info_positions)[: self._kb * 8]
         packed = pack_bits_np(bits[:, pos]).reshape(-1)
         decoded = packed[:src_length]
         if return_stats:
             # per-codeword convergence + iteration counts (the reference
             # prints "Time=<iters>" per batch, MyLdpc.cpp:838,966,1048)
-            return decoded, {
+            stats = {
                 "converged": conv,
                 "iterations": iters,
                 "mean_iters": float(np.mean(iters)),
             }
+            if accepted is not None:
+                stats["accepted"] = accepted
+                stats["crc_rejected"] = int(np.sum(conv & ~accepted))
+            return decoded, stats
         return decoded
+
+    def _crc_ok_np(self, bits: np.ndarray) -> np.ndarray:
+        """[ncw, n] hard bits -> bool[ncw] CRC consistency over the info
+        block (numpy, for the CPU golden path)."""
+        from .codes.crc import crc_matrix
+
+        k_info = self.code.k_info
+        k_msg = k_info - self._crc_len
+        info = bits[:, np.asarray(self.code.info_positions)].astype(np.int64)
+        par = (info[:, :k_msg] @ crc_matrix(k_msg, self.crc).astype(np.int64)) & 1
+        return (par == info[:, k_msg:k_info]).all(axis=1)

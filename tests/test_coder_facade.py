@@ -92,3 +92,58 @@ def test_make_codec_unknown_family():
 
     with pytest.raises(ValueError):
         make_codec("polar")
+
+
+def test_make_codec_crc_roundtrip():
+    """CRC-aided byte-stream codec: payload shrinks by the CRC field, the
+    encode attaches it, decode requires syndrome AND CRC and reports the
+    acceptance split (TS 38.212 §5.1 layout)."""
+    import numpy as np
+
+    from myldpccppapi_tpu.coder import make_codec
+
+    coder = make_codec("wimax", 576, "1/2", crc="16")
+    assert coder._kb == (288 - 16) // 8
+    coder.for_encoder()
+    coder.for_decoder(16)
+    src = bytes(range(100))
+    prior = coder.encode(src)
+    assert len(prior) == coder.get_prior_code_length(len(src))
+    post = coder.test(prior, 10 ** (-5.0 / 20), seed=1)
+    for de_type in ("TDMP", "CPU"):
+        dec, stats = coder.decode(post, len(src), de_type=de_type,
+                                  return_stats=True)
+        assert dec.tobytes() == src
+        assert stats["accepted"].all()
+        assert stats["crc_rejected"] == 0
+
+
+def test_coder_crc_rejects_forged_codeword():
+    """A valid LDPC codeword whose info block has a broken CRC field must
+    not be accepted by the byte-stream decode path."""
+    import numpy as np
+
+    from myldpccppapi_tpu.coder import make_codec
+
+    coder = make_codec("wimax", 576, "1/2", crc="16")
+    coder.for_encoder()
+    coder.for_decoder(4)
+    src = bytes(range(34))  # exactly one codeword payload
+    prior = coder.encode(src)
+    # flip a MESSAGE bit then re-encode the LDPC parity only: simplest way
+    # is to corrupt one payload byte and re-encode, then present the OLD
+    # CRC's frame as soft values -- instead, decode soft values of a
+    # codeword built from an info block with a mismatched CRC field
+    from myldpccppapi_tpu.codes.encoder import Encoder, encode_numpy
+    from myldpccppapi_tpu.ops.packing import unpack_bits_np
+
+    bits = unpack_bits_np(np.asarray(prior, np.uint8))[: 576].copy()
+    info = bits[: 288].copy()
+    info[3] ^= 1  # break message vs CRC consistency
+    enc = Encoder(coder.code)
+    cw = encode_numpy(enc.mats, info[None, :])
+    post = (1.0 - 2.0 * cw.astype(np.float32)) * 5.0
+    dec, stats = coder.decode(post.reshape(-1), len(src), de_type="TDMP",
+                              return_stats=True)
+    assert not stats["accepted"].any()
+    assert stats["crc_rejected"] == 1  # syndrome converged, CRC caught it
