@@ -137,6 +137,15 @@ def cmd_waterfall(args) -> int:
         from .codes.nr import triangular_encode_fn
 
         encode_fn = triangular_encode_fn(code)
+    outer = None
+    if getattr(args, "bch", False):
+        if args.family != "dvbs2":
+            raise SystemExit("--bch is the DVB-S2 outer code; use --crc "
+                             "for other families")
+        from .codes.bch import bch_params_dvbs2
+
+        m_f, t_f, _ = bch_params_dvbs2(args.n, args.rate)
+        outer = ("bch", m_f, t_f)
     step = make_sharded_campaign_step(
         code, cfg, mesh,
         batch_per_device=max(1, args.batch // data_devs),
@@ -144,6 +153,7 @@ def cmd_waterfall(args) -> int:
         encode_fn=encode_fn,
         decode_fn=decode_fn,
         snr_axis="snr" if snr_shards > 1 else None,
+        outer=outer,
     )
     step = jax.jit(step)
 
@@ -161,7 +171,9 @@ def cmd_waterfall(args) -> int:
         max_frames=args.max_frames,
         seed=args.seed,
     )
-    fp = ccfg.fingerprint(code.name, repr(cfg) + f"/snr_shards={snr_shards}")
+    fp = ccfg.fingerprint(
+        code.name, repr(cfg) + f"/snr_shards={snr_shards}/outer={outer}"
+    )
     camp = WaterfallCampaign(
         ccfg, step_fn,
         frames_per_step=max(1, args.batch // data_devs) * data_devs,
@@ -188,8 +200,9 @@ def cmd_waterfall(args) -> int:
     for p in camp.points:
         split = ""
         if p.frame_errors:
+            rej = args.crc or getattr(args, "bch", False)
             split = (f" det/undet={p.detected_errors}/{p.undetected_errors}"
-                     + (f" crc_rej={p.crc_rejected}" if args.crc else ""))
+                     + (f" outer_rej={p.crc_rejected}" if rej else ""))
         print(
             f"snr={p.snr_db:+.2f} frames={p.frames} FER={p.fer:.4e} "
             f"BER={p.ber:.4e} (+-{p.fer_ci95():.1e}) iters={p.avg_iters:.2f}"
@@ -262,6 +275,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="CRC-aided acceptance (TS 38.212 §5.1): attach this "
                         "CRC to each simulated code block and require "
                         "syndrome AND CRC for frame acceptance")
+    w.add_argument("--bch", action="store_true",
+                   help="DVB-S2 outer BCH (EN 302 307): fill the BCHFEC "
+                        "parity field and require syndrome AND BCH "
+                        "detection for frame acceptance")
     w.add_argument("--snr-shards", type=int, default=1,
                    help="shard the SNR grid over this many mesh shards "
                         "(must divide the device count): groups of N SNR "

@@ -105,6 +105,7 @@ def sim_step(
     encode_fn: Optional[Callable] = None,
     decode_fn: Optional[Callable] = None,
     llr_scale: Optional[float] = None,
+    outer: "Optional[tuple]" = None,
 ) -> SimStats:
     """Simulate one batch at one SNR point.  Pure; jit/vmap/shard-safe.
 
@@ -115,6 +116,12 @@ def sim_step(
     attached (TS 38.212 §5.1 code-block layout) before encoding, so the
     decoder's CRC-aided acceptance sees consistent frames; errors are still
     counted over the full information block (message + CRC field).
+
+    ``outer=("bch", m, t)`` instead runs the EN 302 307 concatenated flow:
+    the BCH parity (codes/bch.py) fills the last m*t' info bits, and frame
+    acceptance is syndrome AND BCH-detection — post-decode, matching the
+    DVB receiver (which repairs residuals with BCH rather than iterating
+    the LDPC).  Outer-rejected frames count into ``crc_rejected``.
     """
     if encode_fn is None:
         encode_fn = matmul_encode_fn(code)
@@ -123,6 +130,9 @@ def sim_step(
     info_pos = jnp.asarray(code.info_positions)
     kbits = len(info_pos)
     k_u, k_n = jax.random.split(key)
+    outer_check = None
+    if cfg.crc and outer is not None:
+        raise ValueError("choose either cfg.crc or an outer code, not both")
     if cfg.crc:
         from ..codes.crc import CRC_POLYS, crc_attach_fn
 
@@ -130,6 +140,18 @@ def sim_step(
         attach = crc_attach_fn(k_msg, cfg.crc)
         msg = jax.random.bernoulli(k_u, 0.5, (batch, k_msg)).astype(jnp.int8)
         u = attach(msg)  # [B, kbits] message || CRC
+    elif outer is not None:
+        kind, m, t = outer
+        if kind != "bch":
+            raise ValueError(f"unknown outer code {kind!r}")
+        from ..codes.bch import bch_attach_fn, bch_check_fn, bch_matrix
+
+        par = bch_matrix(1, m, t).shape[1]
+        k_msg = kbits - par
+        attach = bch_attach_fn(k_msg, m, t)
+        outer_check = bch_check_fn(k_msg, m, t)
+        msg = jax.random.bernoulli(k_u, 0.5, (batch, k_msg)).astype(jnp.int8)
+        u = attach(msg)  # [B, kbits] message || BCH parity (BCHFEC)
     else:
         u = jax.random.bernoulli(k_u, 0.5, (batch, kbits)).astype(jnp.int8)
     cw = encode_fn(u)  # [B, n] 0/1 ints
@@ -141,6 +163,8 @@ def sim_step(
     decoded_info = res.bits[:, info_pos].astype(jnp.int8)
     bit_err = jnp.sum((decoded_info != u).astype(jnp.int32), axis=-1)  # [B]
     accepted = res.ok  # syndrome, and CRC when CRC-aided
+    if outer_check is not None:
+        accepted = accepted & outer_check(decoded_info)
     i64 = jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32
     return SimStats(
         frames=jnp.asarray(batch, i64),
@@ -165,6 +189,7 @@ def make_sharded_campaign_step(
     llr_scale: Optional[float] = None,
     data_axis: str = DATA_AXIS,
     snr_axis: Optional[str] = None,
+    outer: "Optional[tuple]" = None,
 ):
     """Build the sharded campaign step: (key, snr_db[num_snr]) -> SimStats
     with leading SNR axis [num_snr].
@@ -198,7 +223,7 @@ def make_sharded_campaign_step(
             i, k = args
             return sim_step(
                 code, cfg, k, snr_local[i], batch_per_device,
-                encode_fn, decode_fn, llr_scale,
+                encode_fn, decode_fn, llr_scale, outer=outer,
             )
 
         keys = jax.random.split(key, snr_local.shape[0])

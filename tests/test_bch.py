@@ -140,3 +140,32 @@ def test_concatenated_dvbs2_flow():
     fixed, ok = bch_correct(dirty[:1], m, t)
     assert ok.all()
     np.testing.assert_array_equal(fixed[0], inner[0])
+
+
+def test_sim_step_outer_bch():
+    """Campaign-level concatenated flow: sim_step(outer=("bch", m, t))
+    attaches the BCHFEC parity and acceptance requires syndrome AND BCH
+    detection (the --bch waterfall path)."""
+    from functools import partial
+
+    from myldpccppapi_tpu import DecoderConfig
+    from myldpccppapi_tpu.codes.dvbs2 import dvbs2
+    from myldpccppapi_tpu.parallel.sim import sim_step
+
+    code = dvbs2(16200, "1/2")
+    cfg = DecoderConfig(schedule="layered", normalization=0.85, max_iters=25)
+    m, t, _ = bch_params_dvbs2(16200, "1/2")
+    step = jax.jit(partial(sim_step, code, cfg, batch=8,
+                           outer=("bch", m, t)))
+    s = step(jax.random.PRNGKey(0), jnp.float32(2.4))
+    assert int(s.frames) == 8
+    assert int(s.frame_errors) == 0 and int(s.undetected_errors) == 0
+    assert int(s.crc_rejected) == 0
+
+    # cfg.crc and an outer code are mutually exclusive
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sim_step(code, DecoderConfig(schedule="layered", crc="16"),
+                 jax.random.PRNGKey(0), jnp.float32(3.0), 4,
+                 outer=("bch", m, t))
