@@ -79,3 +79,31 @@ def test_independent_noise_per_shard(setup):
     step1 = make_sharded_campaign_step(code, cfg, mesh1, batch_per_device=4, num_snr=1)
     stats1 = jax.jit(step1)(jax.random.PRNGKey(3), jnp.asarray([1.0], jnp.float32))
     assert int(stats.bit_errors[0]) != 8 * int(stats1.bit_errors[0])
+
+
+def test_sharded_campaign_step_with_crc():
+    """CRC-aided acceptance under shard_map on the 2-D (snr x data) mesh:
+    the config-5 layout with the full 38.212 semantics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from myldpccppapi_tpu import DecoderConfig
+    from myldpccppapi_tpu.codes import wimax
+    from myldpccppapi_tpu.parallel import make_mesh, make_sharded_campaign_step
+
+    code = wimax(576, "1/2")
+    cfg = DecoderConfig(schedule="layered", max_iters=10, crc="16",
+                        implementation="jnp")
+    mesh = make_mesh((2, 4), ("snr", "data"))
+    step = make_sharded_campaign_step(
+        code, cfg, mesh, batch_per_device=8, num_snr=2, snr_axis="snr"
+    )
+    snr = jnp.asarray([5.0, 6.0], jnp.float32)
+    stats = jax.tree.map(np.asarray, jax.jit(step)(jax.random.PRNGKey(0), snr))
+    assert stats.frames.shape == (2,)
+    assert int(stats.frames.sum()) == 2 * 8 * 4
+    # clean operating points: everything accepted, nothing undetected
+    assert int(stats.frame_errors.sum()) == 0
+    assert int(stats.undetected_errors.sum()) == 0
+    assert int(stats.crc_rejected.sum()) == 0
