@@ -297,12 +297,92 @@ def roofline(name, code, encode, batch, norm, calib_ops_per_s, calib_info):
     return rec
 
 
+def roofline_shortcode(name, code, batch, norm, calib_ops_per_s):
+    """Per-sweep edge-update rate of the SHORT-code fused kernel
+    (ops/pallas_bp.py: codewords on lanes, z on sublanes) — the headline
+    bench's kernel.  No static op count exists for this kernel's traced
+    body, so the record reports the measured per-sweep time and edge rate
+    (comparable to the z-lane rows' edge_updates_per_s_G) rather than an
+    issue-slot utilization claim."""
+    import jax
+    import jax.numpy as jnp
+
+    from myldpccppapi_tpu.codes.encoder import Encoder, encode_numpy
+    from myldpccppapi_tpu.ops.pallas_bp import choose_batch_tile, decode_qc_pallas
+    from myldpccppapi_tpu.utils.config import DecoderConfig
+
+    enc = Encoder(code)
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
+    cw = encode_numpy(enc.mats, u)
+    sym = jax.device_put(jnp.asarray(1.0 - 2.0 * cw.astype(np.float32)))
+    sigma = 10 ** (2.0 / 20)   # -2 dB: nothing converges
+
+    @jax.jit
+    def make_llr(key):
+        noise = sigma * jax.random.normal(key, sym.shape, jnp.float32)
+        return 2.0 * (sym + noise) / (sigma * sigma)
+
+    llrs = [make_llr(jax.random.PRNGKey(500 + i))
+            for i in range(N_PIPE * ROUNDS + 1)]
+    jax.block_until_ready(llrs)
+
+    def run_at(iters):
+        cfg = DecoderConfig(schedule="layered", normalization=norm,
+                            max_iters=iters, early_exit=True)
+
+        @jax.jit
+        def one(llr):
+            res = decode_qc_pallas(code, cfg, llr)
+            return jnp.stack([jnp.sum(res.iterations),
+                              jnp.sum(jnp.where(res.converged, 1, 0))])
+
+        return _timed_rounds(one, llrs), cfg
+
+    lo_iters, hi_iters = 4, 24
+    t_lo, _ = run_at(lo_iters)
+    t_hi, cfg = run_at(hi_iters)
+    bt = choose_batch_tile(code)
+    tiles = -(-batch // bt)
+    sweeps = N_PIPE * tiles * (hi_iters - lo_iters)
+    t_tile = (t_hi - t_lo) / sweeps
+    edges = code.num_edges
+    rec = {
+        "config": "roofline", "name": name, "kernel": "pallas_bp",
+        "sweep_us_per_tile": round(t_tile * 1e6, 3),
+        "batch_tile": bt, "z": code.z,
+        "edge_updates_per_s_G": round(edges * bt / t_tile / 1e9, 2),
+        "calib_lower_bound_tops": round(calib_ops_per_s / 1e12, 3),
+        "t_lo_ms": round(t_lo * 1e3, 2), "t_hi_ms": round(t_hi * 1e3, 2),
+        "decode_iters": [lo_iters, hi_iters], "batch": batch,
+        "hbm_bytes_per_iteration": 0,
+    }
+    line = json.dumps(rec)
+    print(line, flush=True)
+    with open(RESULTS, "a") as f:
+        f.write(line + "\n")
+    return rec
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from myldpccppapi_tpu.codes.dvbs2 import dvbs2_ira_qc, ira_encode_fn
     from myldpccppapi_tpu.codes.nr import nr_code, triangular_encode_fn
+
+    if "shortcode" in sys.argv[1:]:
+        from myldpccppapi_tpu.codes.wimax import wimax
+        from myldpccppapi_tpu.codes.wifi import wifi
+
+        calib_ops, calib_info = calibrate_vpu_ops()
+        print(f"[roofline] calibrated VPU f32: {calib_ops/1e12:.2f} Tops/s",
+              file=sys.stderr, flush=True)
+        roofline_shortcode("wimax576_r34B", wimax(576, "3/4B"), batch=8192,
+                           norm=0.75, calib_ops_per_s=calib_ops)
+        roofline_shortcode("wifi1944_r56", wifi(1944, "5/6"), batch=4096,
+                           norm=0.75, calib_ops_per_s=calib_ops)
+        return
 
     calib_ops, calib_info = calibrate_vpu_ops()
     print(f"[roofline] calibrated VPU f32: {calib_ops/1e12:.2f} Tops/s "
