@@ -66,20 +66,18 @@ def _pipe_rounds(one, make_input, n_pipe, rounds=3, warm=True):
     return dt, agg
 
 
-def _depth_fit(one, make_input, n_pipe, bits_per_dispatch, rounds=3,
-               offset=1_000_000):
-    """Two-depth linear fit round_s = fixed + slope * n_pipe.
+def _depth_fit(one, make_input, n_pipe):
+    """Second, shallow-depth measurement (n_pipe // 4, fresh inputs —
+    cache!) for the two-depth linear fit round_s = fixed + slope * n_pipe.
 
     The deep-pipeline throughput keeps rising with depth because the fixed
     per-round cost (tunnel RPC + readback) is amortized — a methodology
-    artifact.  The depth-independent chip rate is the SLOPE: marginal
-    Mbit/s = bits_per_dispatch / slope.  Measures a second, shallow depth
-    (n_pipe // 4) with fresh inputs (cache!) and returns the fit dict
-    every pipelined record should carry.
+    artifact.  The depth-independent chip rate is the SLOPE; _fit_record
+    turns (dt_hi, dt_lo) into the fit dict every pipelined record carries.
     """
     n_lo = max(1, n_pipe // 4)
     dt_lo, _ = _pipe_rounds(
-        one, lambda i: make_input(offset + i), n_lo, rounds, warm=False
+        one, lambda i: make_input(1_000_000 + i), n_lo, warm=False
     )
     return dt_lo, n_lo
 
@@ -206,7 +204,7 @@ def config1g():
     one_fn = lambda llr: one(llr, u_dev)
     make_input = lambda i: make_llr(jax.random.PRNGKey(1000 + i))
     dt, agg = _pipe_rounds(one_fn, make_input, n_pipe)
-    dt_lo, n_lo = _depth_fit(one_fn, make_input, n_pipe, batch * code.k_info)
+    dt_lo, n_lo = _depth_fit(one_fn, make_input, n_pipe)
     frames = n_pipe * batch
     it, cv, fe, ue = (int(x) for x in agg)
     _emit({
@@ -318,7 +316,7 @@ def config2():
     one_fn = lambda llr: one(llr, u_dev)
     make_input = lambda i: make_llr(jax.random.PRNGKey(1000 + i))
     dt, agg = _pipe_rounds(one_fn, make_input, n_pipe)
-    dt_lo, n_lo = _depth_fit(one_fn, make_input, n_pipe, batch * code.k)
+    dt_lo, n_lo = _depth_fit(one_fn, make_input, n_pipe)
     frames = n_pipe * batch
     iters_sum, conv_sum, berr = (int(x) for x in agg)
     _emit({
@@ -400,7 +398,7 @@ def config3(n=64800, batch=1024, snr_db=1.4, n_pipe=8, label=3, rate="1/2",
     one_fn = lambda llr: one(llr, u_dev)
     make_input = lambda i: make_llr(jax.random.PRNGKey(1000 + i))
     dt, agg = _pipe_rounds(one_fn, make_input, n_pipe)
-    dt_lo, n_lo = _depth_fit(one_fn, make_input, n_pipe, batch * code.k)
+    dt_lo, n_lo = _depth_fit(one_fn, make_input, n_pipe)
     frames = n_pipe * batch
     iters_sum, conv_sum, berr = (int(x) for x in agg)
     mbits = frames * code.k / dt / 1e6
@@ -483,7 +481,7 @@ def config4(z=384, bg=1, batch=512, label=4, sweep=None):
         make_llr = make_llr_fn(10 ** (-snr_db / 20))
         make_input = lambda i: make_llr(jax.random.PRNGKey(1000 + i), tx_dev)
         dt, agg = _pipe_rounds(one, make_input, n_pipe)
-        dt_lo, n_lo = _depth_fit(one, make_input, n_pipe, batch * code.k)
+        dt_lo, n_lo = _depth_fit(one, make_input, n_pipe)
         frames = n_pipe * batch
         iters_sum, conv_sum = (int(x) for x in agg)
         rows.append({
@@ -543,7 +541,7 @@ def config4c():
     n_pipe = 32
     make_input = lambda i: jax.random.PRNGKey(3000 + i)
     dt, agg = _pipe_rounds(one, make_input, n_pipe)
-    dt_lo, n_lo = _depth_fit(one, make_input, n_pipe, batch * code.k)
+    dt_lo, n_lo = _depth_fit(one, make_input, n_pipe)
     frames, fe, ue, cr, uc, it = (int(x) for x in agg)
     _emit({
         "config": "4c", "name": "nr_bg1_z384_crc24b_5dB",

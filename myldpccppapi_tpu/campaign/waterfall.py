@@ -169,7 +169,9 @@ class WaterfallCampaign:
 
         def tot(x):
             a = np.asarray(x)
-            return int(np.sum(a if take is None else a[take]))
+            if take is None or a.ndim == 0:  # scalar defaults have no axis
+                return int(np.sum(a))
+            return int(np.sum(a[take]))
 
         p.wall_s += wall_s
         p.frames += tot(stats.frames)
@@ -232,11 +234,14 @@ class WaterfallCampaign:
                 t0 = time.perf_counter()
                 stats = self.step_fn(seed, snrs)
                 wall = time.perf_counter() - t0
+                # charge wall time to the points still doing useful work
+                # (finished members run as discarded filler)
+                active = [i for i in grp if not self.point_finished(i)]
                 for pos, i in enumerate(grp):
-                    if self.point_finished(i):
+                    if i not in active:
                         self.steps_done[i] += 1  # keep group seeds aligned
                         continue
-                    self._accumulate(i, stats, wall / len(grp), take=pos)
+                    self._accumulate(i, stats, wall / len(active), take=pos)
                     if progress:
                         progress(i, self.points[i])
                 steps_since_ckpt += 1

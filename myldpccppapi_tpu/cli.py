@@ -99,7 +99,6 @@ def cmd_waterfall(args) -> int:
 
     from .campaign import CampaignConfig, WaterfallCampaign
     from .parallel import make_mesh, make_sharded_campaign_step
-    from .parallel.sim import matmul_encode_fn, make_decode_fn
 
     code = _make_code(args)
     cfg = DecoderConfig(
@@ -125,8 +124,9 @@ def cmd_waterfall(args) -> int:
     else:
         mesh = make_mesh((n_dev,), ("data",))
     data_devs = n_dev // snr_shards
+    # the decoder always comes from the standard implementation dispatch;
+    # only the encoder is family-specific
     encode_fn = None
-    decode_fn = None
     if args.family == "dvbs2":
         # O(n) accumulator encoder; the decoder comes from the standard
         # implementation dispatch (z-lane fused kernel on TPU)
@@ -151,7 +151,6 @@ def cmd_waterfall(args) -> int:
         batch_per_device=max(1, args.batch // data_devs),
         num_snr=snr_shards,
         encode_fn=encode_fn,
-        decode_fn=decode_fn,
         snr_axis="snr" if snr_shards > 1 else None,
         outer=outer,
     )

@@ -64,25 +64,36 @@ def crc_numpy(u: np.ndarray, name: str = "24A") -> np.ndarray:
     return reg
 
 
+def _clock_matrix(k: int, taps: np.ndarray) -> np.ndarray:
+    """[k, L] uint8 parity matrix of the zero-init MSB-first LFSR with the
+    given taps (L = len(taps)): row i is ``x^(L + k - 1 - i) mod g``, i.e.
+    the parity of unit vector e_i.  Built bottom-up in O(k*L): the last
+    row is ``x^L mod g = taps`` and each earlier row is the next one
+    multiplied by x and reduced.  Shared by the CRCs here and the BCH
+    generator (codes/bch.py)."""
+    length = len(taps)
+    rows = np.empty((k, length), dtype=np.uint8)
+    r = taps.astype(np.uint8).copy()  # x^L mod g, MSB-first
+    rows[k - 1] = r
+    for i in range(k - 2, -1, -1):
+        carry = r[0]
+        r = np.roll(r, -1)
+        r[-1] = 0
+        if carry:
+            r ^= taps
+        rows[i] = r
+    return rows
+
+
 @functools.lru_cache(maxsize=None)
 def crc_matrix(k: int, name: str = "24A") -> np.ndarray:
     """[k, L] uint8 matrix with ``crc(u) == (u @ C) % 2`` for any [., k] u.
 
     Row i is the CRC of the i-th unit vector; linearity over GF(2) (zero
-    init, no final XOR) makes the superposition exact.  Computed in O(k*L)
-    by clocking all unit vectors at once.
+    init, no final XOR) makes the superposition exact.
     """
-    length, taps = _poly_bits(name)
-    reg = np.zeros((k, length), dtype=np.uint8)
-    # unit vector e_i has its single 1 at position i; clock the LFSR k
-    # times, injecting e_i's bit at step i (vectorized over rows)
-    for step in range(k):
-        fb = reg[:, 0].copy()
-        fb[step] ^= 1
-        reg = np.roll(reg, -1, axis=1)
-        reg[:, -1] = 0
-        reg ^= fb[:, None] * taps
-    return reg
+    _, taps = _poly_bits(name)
+    return _clock_matrix(k, taps)
 
 
 def crc_attach_fn(k: int, name: str = "24A"):

@@ -77,12 +77,16 @@ _VMEM_DEFAULT_LIMIT = 16 * 1024 * 1024
 
 def _vmem_limit(code: QCCode, cfg: DecoderConfig) -> "int | None":
     """vmem_limit_bytes to request: None when the default 16 MB scoped
-    limit suffices, else the margined estimate (a compile-time cap, not a
-    reservation — harmless when actual usage is lower)."""
+    limit suffices.  The REQUEST is more generous (2x estimate) than the
+    support gate's expectation (_VMEM_MARGIN): the limit is a compile-time
+    cap, not a reservation, so over-asking costs nothing while
+    under-asking turns a borderline code into a compile failure (the worst
+    measured Mosaic overshoot is 1.544x — too close to a 1.6x request)."""
     need = int(zlane_vmem_bytes(code, cfg) * _VMEM_MARGIN) + (1 << 20)
     if need <= _VMEM_DEFAULT_LIMIT:
         return None
-    return min(need, _VMEM_CEILING)
+    ask = int(zlane_vmem_bytes(code, cfg) * 2.0) + (1 << 20)
+    return min(ask, _VMEM_CEILING)
 
 
 def _pad_z(z: int) -> int:

@@ -131,3 +131,24 @@ def test_grouped_tail_padding():
                              snr_group_size=2)
     pts = camp.run()
     assert all(p.frames == 200 for p in pts)
+
+
+def test_grouped_accumulate_scalar_default_fields():
+    """A grouped step_fn whose stats carry the SCALAR SimStats defaults for
+    the split fields (np.int64(0), no leading group axis) must accumulate
+    without error (regression: np.asarray(0)[pos] raised IndexError)."""
+    def step(seed, snrs):
+        g = len(snrs)
+        ones = np.full(g, 100, dtype=np.int64)
+        return SimStats(frames=ones, frame_errors=np.zeros(g, np.int64),
+                        bit_errors=np.zeros(g, np.int64),
+                        info_bits=ones * 432, iterations=ones * 5,
+                        unconverged=np.zeros(g, np.int64))
+        # undetected_errors / crc_rejected fall back to the scalar defaults
+
+    cfg = CampaignConfig(snr_db=[1.0, 2.0], min_frame_errors=1,
+                         max_frames=200)
+    camp = WaterfallCampaign(cfg, step, 100, snr_group_size=2)
+    pts = camp.run()
+    assert all(p.frames == 200 for p in pts)
+    assert all(p.undetected_errors == 0 for p in pts)

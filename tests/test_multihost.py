@@ -1,4 +1,3 @@
-import pytest
 """Multi-process (N-host software path) campaign validation.
 
 Spawns REAL separate Python processes that form one JAX distributed job
@@ -11,6 +10,7 @@ The oracle is exact: the step folds each device's GLOBAL mesh position
 into the PRNG key, so statistics must be BIT-IDENTICAL no matter how the
 same global mesh is partitioned into processes (2x2 vs 1x4 here).
 """
+import pytest
 import json
 import os
 import subprocess

@@ -1,5 +1,5 @@
-import pytest
 """Two-phase straggler triage must be bit-identical to single-pass decode."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
