@@ -290,10 +290,15 @@ def config2():
     cw = np.asarray(enc(jnp.asarray(u)))
     sym_dev = jax.device_put(jnp.asarray(1.0 - 2.0 * cw.astype(np.float32)))
     u_dev = jax.device_put(jnp.asarray(u, jnp.int8))
+    # triage OFF here by measurement (results.jsonl config "2t"): at this
+    # operating point (conv 1.0, 2.16 mean iters) the whole batch clears
+    # in fewer sweeps than a useful fast-pass budget, so the second pass is
+    # pure overhead (7352 vs 6691 Mbit/s marginal).  The headline config
+    # (wimax @5 dB, 0.8% unconverged) keeps triage5: 3970 vs 1356 without
+    # (config "ht") — the crossover is where stragglers appear.
     dec = Decoder(
         code,
-        DecoderConfig(schedule="layered", normalization=0.75, early_exit=True,
-                      triage_iters=4),
+        DecoderConfig(schedule="layered", normalization=0.75, early_exit=True),
     )
 
     @jax.jit
