@@ -221,3 +221,23 @@ def test_synthetic_address_tables_girth6():
         k = _SHORT_K_LDPC[rate] if n == 16200 else n * num // den
         addrs = synthetic_address_table(n, rate)
         assert _count_std_4cycles(addrs, k, n - k) == 0
+
+
+def test_parse_address_table_drop_in():
+    """The Annex B/C text loader: parsing a table in the standard's layout
+    and passing it to dvbs2() must equal constructing from the tuple
+    directly (the documented bit-true upgrade path, PROVENANCE.md)."""
+    from myldpccppapi_tpu.codes.dvbs2 import (
+        dvbs2, parse_address_table, synthetic_address_table,
+    )
+
+    addrs = synthetic_address_table(16200, "8/9")
+    text = "# Annex C style table\n" + "\n".join(
+        " ".join(str(a) for a in row) for row in addrs
+    )
+    parsed = parse_address_table(text)
+    assert parsed == addrs
+    code_a = dvbs2(16200, "8/9", addresses=parsed)
+    code_b = dvbs2(16200, "8/9")
+    assert (code_a.base == code_b.base).all()
+    assert code_a.extra_blocks == code_b.extra_blocks
