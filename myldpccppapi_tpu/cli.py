@@ -142,6 +142,9 @@ def cmd_waterfall(args) -> int:
         if args.family != "dvbs2":
             raise SystemExit("--bch is the DVB-S2 outer code; use --crc "
                              "for other families")
+        if args.crc:
+            raise SystemExit("--crc and --bch are mutually exclusive "
+                             "acceptance modes")
         from .codes.bch import bch_params_dvbs2
 
         m_f, t_f, _ = bch_params_dvbs2(args.n, args.rate)

@@ -73,3 +73,12 @@ def test_waterfall_snr_shards_must_divide():
             "waterfall", "--family", "wimax", "--snr", "4,5",
             "--batch", "8", "--max-frames", "8", "--snr-shards", "3",
         ])
+
+
+def test_waterfall_rejects_crc_plus_bch():
+    with pytest.raises(SystemExit):
+        main([
+            "waterfall", "--family", "dvbs2", "--n", "16200", "--rate", "1/2",
+            "--crc", "16", "--bch", "--snr", "3", "--batch", "8",
+            "--max-frames", "8",
+        ])
