@@ -78,6 +78,13 @@ def cmd_test(args) -> int:
     sigma = 10 ** (-args.snr / 20)
     post = coder.test(prior, sigma, seed=args.seed)
 
+    # arming: compile the decode program outside the timed region, like the
+    # reference's forDecoder/addDecodeType device setup (MyLdpc.cpp:167-552)
+    # happens before its timed decode (Test.cpp:63-103)
+    if args.algo != "CPU":
+        # same stream length => identical chunk shapes => full jit cache
+        coder.decode(np.zeros_like(post), len(src), de_type=args.algo)
+
     t0 = time.perf_counter()
     decoded, stats = coder.decode(post, len(src), de_type=args.algo,
                                   return_stats=True)
