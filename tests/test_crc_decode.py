@@ -214,3 +214,19 @@ def test_crc_fail_fn_needs_room():
 
     with pytest.raises(ValueError):
         crc_fail_fn(Tiny(), "24A")
+
+
+@pytest.mark.parametrize("batch", [1, 3])
+def test_crc_small_batches(wimax12, batch):
+    """Tiny batches through the CRC-aided path (wrapper cap exceeds the
+    batch => full-batch fallback branch; lane padding in play)."""
+    llr_good, llr_bad = _frames(wimax12, "16", n_frames=4)
+    llr = jnp.concatenate([llr_bad[:1], llr_good])[:batch]
+    cfg = DecoderConfig(schedule="layered", crc="16", implementation="jnp",
+                        max_iters=8)
+    r = Decoder(wimax12, cfg)(llr)
+    acc = np.asarray(r.accepted)
+    assert acc.shape == (batch,)
+    assert not acc[0]              # the forged frame
+    if batch > 1:
+        assert acc[1:].all()
