@@ -112,6 +112,9 @@ class WaterfallCampaign:
     ):
         self.config = config
         self.step_fn = step_fn
+        #: expected frames per point per step; used to validate the step
+        #: function's actual output (a mismatch means the caller's mesh /
+        #: batch arithmetic disagrees with what the step simulates)
         self.frames_per_step = frames_per_step
         self.fingerprint = fingerprint
         self.checkpoint_path = checkpoint_path
@@ -173,6 +176,14 @@ class WaterfallCampaign:
                 return int(np.sum(a))
             return int(np.sum(a[take]))
 
+        frames = tot(stats.frames)
+        if self.frames_per_step and frames != self.frames_per_step:
+            raise ValueError(
+                f"step_fn simulated {frames} frames for point {i} but the "
+                f"campaign was constructed with frames_per_step="
+                f"{self.frames_per_step}: the caller's batch/mesh "
+                "arithmetic disagrees with the step function"
+            )
         p.wall_s += wall_s
         p.frames += tot(stats.frames)
         p.frame_errors += tot(stats.frame_errors)

@@ -262,6 +262,14 @@ class Coder:
         sigma^2 = 0.25 (``decodeCL.c:9``) — we reproduce that default for SP
         and let callers pass a calibrated ``llr_scale = 2/sigma^2`` instead.
         """
+        if src_length == 0:
+            # symmetric with encode(b"") -> empty output
+            decoded = np.zeros(0, dtype=np.uint8)
+            if return_stats:
+                return decoded, {"converged": np.zeros(0, bool),
+                                 "iterations": np.zeros(0, np.int32),
+                                 "mean_iters": 0.0}
+            return decoded
         post = np.asarray(post_code, dtype=np.float32).reshape(-1, self.code.n)
         if llr_scale is None:
             llr_scale = 8.0 if de_type == "SP" else 1.0

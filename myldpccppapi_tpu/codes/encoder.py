@@ -76,7 +76,7 @@ def ru_precompute(code: QCCode) -> EncoderMatrices:
         w = gf2_matmul(gf2_inv(h[:, k:]), h[:, :k])
         gap = 0
     # sanity: H @ [s; W s] = (H_s + H_p W) s must be 0 for all s
-    residual = gf2_matmul(h[:, :k], np.eye(k, dtype=np.bool_)) ^ gf2_matmul(h[:, k:], w)
+    residual = h[:, :k] ^ gf2_matmul(h[:, k:], w)
     if residual.any():
         raise AssertionError("encoder precompute failed: H @ G != 0")
     return EncoderMatrices(w=w, gap=gap)

@@ -70,11 +70,9 @@ class Decoder:
         if impl == "pallas":
             from .ops import pallas_bp
 
-            if pallas_bp.supported(code):
-                self._fn = partial(pallas_bp.decode_qc_pallas, code, config)
-            else:
+            if not pallas_bp.supported(code):
                 impl = "jnp"
-        if impl == "pallas_zlane":
+        elif impl == "pallas_zlane":
             from .ops import pallas_zlane
 
             if not pallas_zlane.zlane_supported(code, config):
@@ -82,75 +80,84 @@ class Decoder:
                     "pallas_zlane needs a layered-schedule QCCode with "
                     "z >= 64 whose per-tile state fits VMEM"
                 )
-            self._fn = partial(pallas_zlane.decode_qc_zlane, code, config)
-        if impl == "pallas_stream":
+        elif impl == "pallas_stream":
             from .ops import pallas_stream
 
             if not pallas_stream.stream_supported(code, config):
                 raise ValueError(
-                    "pallas_stream supports layered min-sum f32 only"
+                    "pallas_stream supports layered min-sum f32 on plain "
+                    "single-circulant QC codes only"
                 )
-            self._fn = partial(pallas_stream.decode_qc_stream, code, config)
-        if impl == "edgelist":
-            from .ops.bp_edgelist import build_edge_index, decode_edgelist
-
-            idx = getattr(code, "edge_index", None)
-            if idx is None:
-                rows, cols = code.h_coo()
-                layer = (
-                    np.arange(code.m, dtype=np.int32) // code.z
-                    if isinstance(code, QCCode)
-                    else None
-                )
-                idx = build_edge_index(rows, cols, code.n, code.m, layer)
-            crc_fail = None
-            if config.crc:
-                from .ops.bp import crc_fail_fn
-
-                crc_fail = crc_fail_fn(code, config.crc)
-            self._fn = jax.jit(
-                partial(decode_edgelist, idx, config, crc_fail=crc_fail)
-            )
-        elif impl == "jnp":
-            # decode_qc handles cfg.crc natively (CRC folded into the
-            # early-exit latch)
-            self._fn = jax.jit(partial(decode_qc, code, config))
-        if config.triage_iters > 0 and impl in ("pallas", "pallas_zlane", "jnp"):
-            self._fn = self._make_triage(impl)
+        self.implementation = impl
+        self._edge_idx = None
+        self._fn = self._build_fn(config)
+        if config.triage_iters > 0:
+            self._fn = self._make_triage()
         if config.crc and impl in ("pallas", "pallas_zlane", "pallas_stream"):
             # fused kernels early-exit on the syndrome alone; CRC-aided
             # acceptance wraps them (ops/crc_accept.py) — semantically
             # identical to an in-kernel CRC latch because the bit-exact jnp
             # re-decode replays the kernel's trajectory and continues
             self._fn = self._make_crc_accept()
-        self.implementation = impl
 
-    def _make_triage(self, impl: str):
-        """Wrap the decoder in the two-phase straggler triage
-        (ops/triage.py): fast short pass, then full-budget re-decode of the
-        compacted unconverged frames.  Bit-identical to single-pass."""
-        import dataclasses
-
-        from .ops.triage import decode_two_phase
-
-        cfg = self.config
-        fast_cfg = dataclasses.replace(
-            cfg, max_iters=cfg.triage_iters, triage_iters=0
-        )
-        full_cfg = dataclasses.replace(cfg, triage_iters=0)
+    def _build_fn(self, cfg: DecoderConfig):
+        """The base decode callable for the resolved implementation under
+        ``cfg`` (used at construction AND by the triage wrapper to build
+        its short-budget fast pass)."""
+        impl = self.implementation
         if impl == "pallas":
             from .ops import pallas_bp
 
-            fast = partial(pallas_bp.decode_qc_pallas, self.code, fast_cfg)
-            full = partial(pallas_bp.decode_qc_pallas, self.code, full_cfg)
-        elif impl == "pallas_zlane":
+            return partial(pallas_bp.decode_qc_pallas, self.code, cfg)
+        if impl == "pallas_zlane":
             from .ops import pallas_zlane
 
-            fast = partial(pallas_zlane.decode_qc_zlane, self.code, fast_cfg)
-            full = partial(pallas_zlane.decode_qc_zlane, self.code, full_cfg)
-        else:
-            fast = partial(decode_qc, self.code, fast_cfg)
-            full = partial(decode_qc, self.code, full_cfg)
+            return partial(pallas_zlane.decode_qc_zlane, self.code, cfg)
+        if impl == "pallas_stream":
+            from .ops import pallas_stream
+
+            return partial(pallas_stream.decode_qc_stream, self.code, cfg)
+        if impl == "edgelist":
+            from .ops.bp_edgelist import build_edge_index, decode_edgelist
+
+            if self._edge_idx is None:
+                idx = getattr(self.code, "edge_index", None)
+                if idx is None:
+                    rows, cols = self.code.h_coo()
+                    layer = (
+                        np.arange(self.code.m, dtype=np.int32) // self.code.z
+                        if isinstance(self.code, QCCode)
+                        else None
+                    )
+                    idx = build_edge_index(rows, cols, self.code.n,
+                                           self.code.m, layer)
+                self._edge_idx = idx
+            crc_fail = None
+            if cfg.crc:
+                from .ops.bp import crc_fail_fn
+
+                crc_fail = crc_fail_fn(self.code, cfg.crc)
+            return jax.jit(
+                partial(decode_edgelist, self._edge_idx, cfg,
+                        crc_fail=crc_fail)
+            )
+        # jnp: decode_qc handles cfg.crc natively (CRC folded into the
+        # early-exit latch)
+        return jax.jit(partial(decode_qc, self.code, cfg))
+
+    def _make_triage(self):
+        """Wrap the decoder in the two-phase straggler triage
+        (ops/triage.py): fast short pass, then full-budget re-decode of the
+        compacted unaccepted frames.  Bit-identical to single-pass; applies
+        to every implementation (the wrapper only needs opaque callables)."""
+        import dataclasses
+
+        cfg = self.config
+        from .ops.triage import decode_two_phase
+
+        fast = self._build_fn(dataclasses.replace(
+            cfg, max_iters=cfg.triage_iters, triage_iters=0))
+        full = self._build_fn(dataclasses.replace(cfg, triage_iters=0))
 
         @jax.jit
         def fn(llr):

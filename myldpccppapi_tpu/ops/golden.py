@@ -28,8 +28,16 @@ def decode_golden(
     """
     rows, cols = code.h_coo()
     m, n = code.m, code.n
-    e_by_row = [np.nonzero(rows == r)[0] for r in range(m)]
-    e_by_col = [np.nonzero(cols == c)[0] for c in range(n)]
+
+    def group(keys, n_groups):
+        """indices of each key value, O(E log E) (a per-value nonzero scan
+        is O(groups * E) — minutes of precompute on DVB-S2 n=64800)."""
+        order = np.argsort(keys, kind="stable")
+        bounds = np.searchsorted(keys[order], np.arange(n_groups + 1))
+        return [order[bounds[i]:bounds[i + 1]] for i in range(n_groups)]
+
+    e_by_row = group(rows, m)
+    e_by_col = group(cols, n)
 
     llr = np.atleast_2d(np.asarray(llr, dtype=dtype))
     b_sz = llr.shape[0]

@@ -36,14 +36,19 @@ __all__ = ["decode_qc_stream", "stream_supported"]
 _LANES = 128
 
 
-def _neg_roll(x, s, z):
-    """pltpu.roll by -s: negative DYNAMIC shifts are silently wrong on
-    hardware (verified: roll(x, -7) != jnp.roll(x, -7) on v5e while +7
-    matches), so roll by the positive complement z - s (s == 0 -> 0)."""
-    return pltpu.roll(x, jnp.where(s == 0, 0, z - s), 0)
+# the negative-dynamic-shift workaround lives in pallas_bp (one copy)
+from .pallas_bp import _neg_roll  # noqa: E402
 
 
 def stream_supported(code: QCCode, cfg: DecoderConfig) -> bool:
+    """Plain single-circulant QC codes only: the streaming kernel has no
+    mask channel (a row-masked partial circulant would be decoded as a
+    full one — a DIFFERENT H), and a multi-edge base cell would give two
+    slots of one layer the same posterior column whose writeback DMAs
+    race.  The z-lane kernel (pallas_zlane) handles both; this fallback
+    refuses rather than silently decoding the wrong matrix."""
+    if code.extra_blocks is not None or getattr(code, "masked_rows", None):
+        return False
     return (
         cfg.schedule == "layered"
         and cfg.algorithm == "min-sum"
@@ -289,6 +294,10 @@ def decode_qc_stream(code: QCCode, cfg: DecoderConfig, llr: jax.Array,
 
 
 def _minsum(qs, cfg: DecoderConfig):
+    # NOTE: same math as pallas_bp._check_update_rows but expressed as a
+    # streaming running-min (m1/m2 updated per loaded tile instead of over
+    # a co-resident list) — the two must stay numerically equivalent (the
+    # bit-exactness tests vs the jnp path pin both)
     m1 = jnp.full_like(qs[0], 1e30)
     m2 = jnp.full_like(qs[0], 1e30)
     sgn = jnp.ones_like(qs[0])

@@ -143,3 +143,16 @@ def test_streaming_kernel_matches_jnp():
     assert (np.asarray(res.bits) == np.asarray(ref.bits)).all()
     assert (np.asarray(res.iterations) == np.asarray(ref.iterations)).all()
     assert (np.asarray(res.converged) == np.asarray(ref.converged)).all()
+
+
+def test_stream_supported_rejects_masked_and_multiedge():
+    """The streaming kernel has no mask channel and no multi-edge
+    writeback; it must refuse the EN 302 307 structure rather than decode
+    a different H (auto dispatch gives those codes the z-lane kernel)."""
+    from myldpccppapi_tpu.codes.dvbs2 import dvbs2
+    from myldpccppapi_tpu.ops.pallas_stream import stream_supported
+    from myldpccppapi_tpu.utils.config import DecoderConfig
+
+    cfg = DecoderConfig(schedule="layered")
+    assert stream_supported(_staircase_qc(), cfg)       # plain QC: fine
+    assert not stream_supported(dvbs2(16200, "1/2"), cfg)

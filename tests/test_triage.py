@@ -60,3 +60,34 @@ def test_triage_noop_when_cap_covers_batch():
     )
     base = Decoder(code, DecoderConfig(schedule="layered"))
     _assert_same(base(llr), tri(llr))
+
+
+def test_triage_applies_to_edgelist():
+    """triage_iters must not be silently dropped on the edge-list path:
+    results stay bit-identical to single-pass (regression: the wrapper was
+    gated to pallas/zlane/jnp only)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from myldpccppapi_tpu import Decoder, DecoderConfig
+    from myldpccppapi_tpu.codes.dvbs2 import dvbs2_oracle
+
+    code = dvbs2_oracle(16200, "8/9")
+    rng = np.random.default_rng(2)
+    u = rng.integers(0, 2, size=(8, code.k), dtype=np.uint8)
+    c = code.encode_numpy(u)
+    sigma = 10 ** (-6.0 / 20)
+    y = (1.0 - 2.0 * c.astype(np.float32)) + rng.normal(
+        0, sigma, c.shape
+    ).astype(np.float32)
+    llr = jnp.asarray(2.0 * y / sigma**2)
+    cfg = DecoderConfig(schedule="layered", normalization=0.8, max_iters=20,
+                        triage_iters=3, triage_cap_frac=0.9)
+    dec = Decoder(code, cfg)
+    assert dec.implementation == "edgelist"
+    r = dec(llr)
+    single = Decoder(code, dataclasses.replace(cfg, triage_iters=0))(llr)
+    np.testing.assert_array_equal(np.asarray(r.bits), np.asarray(single.bits))
+    np.testing.assert_array_equal(np.asarray(r.iterations),
+                                  np.asarray(single.iterations))
