@@ -13,10 +13,12 @@ semantics are implemented by FREEZING converged lanes (their posterior and
 messages stop updating), which is exactly equivalent to the other paths'
 output latching because codeword lanes are independent.
 
-Status: correctness-validated in interpret mode against the jnp path;
-hardware performance work (double-buffered DMA across non-conflicting
-layers) is round-2 material.  Opt in with
-``DecoderConfig(implementation="pallas_stream")``.
+Status: bit-exact vs the jnp path ON HARDWARE (v5e, wimax n=1152, incl.
+iteration counts and under the triage wrapper) as well as in interpret
+mode; plain single-circulant QC codes only (``stream_supported`` refuses
+multi-edge/masked structures — the z-lane kernel owns those).  Remaining
+performance work: double-buffered DMA across non-conflicting layers.
+Opt in with ``DecoderConfig(implementation="pallas_stream")``.
 """
 from __future__ import annotations
 
@@ -242,7 +244,11 @@ def decode_qc_stream(code: QCCode, cfg: DecoderConfig, llr: jax.Array,
         raise NotImplementedError("streaming kernel: layered min-sum f32 only")
     n_b, z = code.n_b, code.z
     b = llr.shape[0]
-    bt = min(_LANES, max(8, 1 << (b - 1).bit_length()))
+    # the lane tile is always a full 128: HBM DMA slices on the lane
+    # dimension must be 128-aligned on hardware (Mosaic rejects smaller
+    # tiles: "Slice shape along dimension 2 must be aligned to tiling") —
+    # small batches pad up and the pad lanes converge on iteration 1
+    bt = _LANES
     pad = (-b) % bt
     # large-positive pad LLRs: pad lanes converge to all-zeros on iteration
     # 1 so partial tiles keep the early exit (see pallas_bp.decode_qc_pallas)
