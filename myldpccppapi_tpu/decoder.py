@@ -34,13 +34,18 @@ def _implementation(cfg: DecoderConfig, code) -> str:
     except RuntimeError:
         platform = "cpu"
     if platform == "tpu":
-        from .ops import pallas_bp, pallas_zlane
+        from .ops import pallas_bp, pallas_stream, pallas_zlane
 
         if pallas_bp.supported(code):
             return "pallas"
         # long codes (DVB-S2 n=64800, NR Z=384): z-on-lanes fused kernel
         if pallas_zlane.zlane_supported(code, cfg):
             return "pallas_zlane"
+        # beyond even the z-lane kernel's raisable VMEM ceiling: the
+        # HBM-streaming kernel (measured 36x the XLA path on a plain-QC
+        # n=153600 code — results.jsonl "stream_giant")
+        if pallas_stream.stream_supported(code, cfg):
+            return "pallas_stream"
         return "jnp"
     return "jnp"
 
