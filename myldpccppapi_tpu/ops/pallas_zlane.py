@@ -68,10 +68,14 @@ _VMEM_BUDGET = 13 * 1024 * 1024  # bf16 16-tile gate vs the 16 MB default
 #: to ~1.55x (measured: DVB-S2 64800 r3/4 f32 needs 17.04 MB scoped where
 #: the storage model says 11.04 MB) — dense layers keep more per-edge
 #: temporaries live.  The kernel raises vmem_limit_bytes to the margined
-#: estimate; _VMEM_CEILING caps what we will request (r3/4 and r5/6 both
-#: compile AND run correctly at 24 MB on v5e — verified on chip).
+#: estimate; _VMEM_CEILING caps what we will request.  Verified on this
+#: v5e chip: a 62.5 MB request (plain-QC n=153,600, ~31 MB storage
+#: estimate) compiles and decodes bit-exactly at 967 Mbit/s marginal —
+#: 10x the HBM-streaming tier on the same code — so the ceiling sits at
+#: 64 MB; a genuinely over-physical request fails loudly at compile, not
+#: silently.
 _VMEM_MARGIN = 1.6
-_VMEM_CEILING = 32 * 1024 * 1024
+_VMEM_CEILING = 64 * 1024 * 1024
 _VMEM_DEFAULT_LIMIT = 16 * 1024 * 1024
 
 
