@@ -230,3 +230,18 @@ def test_crc_small_batches(wimax12, batch):
     assert not acc[0]              # the forged frame
     if batch > 1:
         assert acc[1:].all()
+
+
+def test_crc_without_early_exit(wimax12):
+    """early_exit=False + CRC: the loop runs the full budget but the
+    acceptance latch (and per-frame iteration counts) still reflect
+    syndrome AND CRC."""
+    llr_good, llr_bad = _frames(wimax12, "16")
+    llr = jnp.concatenate([llr_good, llr_bad])
+    cfg = DecoderConfig(schedule="layered", crc="16", implementation="jnp",
+                        max_iters=6, early_exit=False)
+    r = Decoder(wimax12, cfg)(llr)
+    acc = np.asarray(r.accepted)
+    assert acc[:4].all() and not acc[4:].any()
+    assert (np.asarray(r.iterations)[:4] == 1).all()
+    assert np.asarray(r.converged).all()   # all are valid codewords
