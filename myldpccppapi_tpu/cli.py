@@ -156,6 +156,17 @@ def cmd_waterfall(args) -> int:
 
         m_f, t_f, _ = bch_params_dvbs2(args.n, args.rate)
         outer = ("bch", m_f, t_f)
+    mod = None
+    mod_name = getattr(args, "mod", "bpsk") or "bpsk"
+    if mod_name != "bpsk":
+        from .ops.modulation import make_modulation
+
+        mod = make_modulation(mod_name, rate=args.rate)
+        if code.n % mod.bits_per_symbol:
+            raise SystemExit(
+                f"n={code.n} not divisible by {mod.bits_per_symbol} "
+                f"bits/symbol of {mod_name}"
+            )
     step = make_sharded_campaign_step(
         code, cfg, mesh,
         batch_per_device=max(1, args.batch // data_devs),
@@ -163,6 +174,8 @@ def cmd_waterfall(args) -> int:
         encode_fn=encode_fn,
         snr_axis="snr" if snr_shards > 1 else None,
         outer=outer,
+        mod=mod,
+        demap=getattr(args, "demap", "maxlog"),
     )
     step = jax.jit(step)
 
@@ -181,7 +194,9 @@ def cmd_waterfall(args) -> int:
         seed=args.seed,
     )
     fp = ccfg.fingerprint(
-        code.name, repr(cfg) + f"/snr_shards={snr_shards}/outer={outer}"
+        code.name,
+        repr(cfg) + f"/snr_shards={snr_shards}/outer={outer}"
+        + (f"/mod={mod_name}/demap={args.demap}" if mod is not None else ""),
     )
     camp = WaterfallCampaign(
         ccfg, step_fn,
@@ -288,6 +303,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DVB-S2 outer BCH (EN 302 307): fill the BCHFEC "
                         "parity field and require syndrome AND BCH "
                         "detection for frame acceptance")
+    w.add_argument("--mod", default="bpsk",
+                   choices=["bpsk", "qpsk", "8psk", "16qam", "64qam",
+                            "256qam", "16apsk", "32apsk"],
+                   help="constellation (NR QAM per TS 38.211 §5.1; DVB-S2 "
+                        "PSK/APSK geometry per EN 302 307 §5.4); soft "
+                        "demapping feeds the decoder")
+    w.add_argument("--demap", default="maxlog", choices=["maxlog", "exact"],
+                   help="soft-demapper flavor for --mod != bpsk")
     w.add_argument("--snr-shards", type=int, default=1,
                    help="shard the SNR grid over this many mesh shards "
                         "(must divide the device count): groups of N SNR "

@@ -1,4 +1,5 @@
-"""Compute ops: channel simulation, bit packing, BP decoders, Pallas kernels."""
-from . import bp, bp_edgelist, channel, golden, packing
+"""Compute ops: channel simulation, modulation, bit packing, BP decoders,
+Pallas kernels."""
+from . import bp, bp_edgelist, channel, golden, modulation, packing
 
-__all__ = ["bp", "bp_edgelist", "channel", "golden", "packing"]
+__all__ = ["bp", "bp_edgelist", "channel", "golden", "modulation", "packing"]

@@ -106,11 +106,19 @@ def sim_step(
     decode_fn: Optional[Callable] = None,
     llr_scale: Optional[float] = None,
     outer: "Optional[tuple]" = None,
+    mod=None,
+    demap: str = "maxlog",
 ) -> SimStats:
     """Simulate one batch at one SNR point.  Pure; jit/vmap/shard-safe.
 
     ``snr_db``: scalar (may be traced).  Noise sigma follows the reference
     CLI convention sigma = 10^(-snr/20) (``Test.cpp:57``).
+
+    ``mod`` (an ``ops.modulation.Modulation``, default BPSK) selects the
+    constellation: non-BPSK symbols go through complex AWGN with
+    per-component sigma (so ``snr_db`` stays Es/sigma^2 in dB, the same
+    convention as the BPSK path) and the ``demap`` soft demapper
+    ("maxlog"/"exact") produces the decoder LLRs.
 
     When ``cfg.crc`` is set, random MESSAGE bits are drawn and the CRC is
     attached (TS 38.212 §5.1 code-block layout) before encoding, so the
@@ -156,9 +164,20 @@ def sim_step(
         u = jax.random.bernoulli(k_u, 0.5, (batch, kbits)).astype(jnp.int8)
     cw = encode_fn(u)  # [B, n] 0/1 ints
     sigma = sigma_from_snr_db(snr_db)
-    sym = 1.0 - 2.0 * cw.astype(jnp.float32)
-    y = sym + sigma * jax.random.normal(k_n, sym.shape, dtype=jnp.float32)
-    llr = channel_llr(y, sigma, llr_scale)
+    if mod is None or mod.name == "bpsk":
+        sym = 1.0 - 2.0 * cw.astype(jnp.float32)
+        y = sym + sigma * jax.random.normal(k_n, sym.shape, dtype=jnp.float32)
+        llr = channel_llr(y, sigma, llr_scale)
+    else:
+        if llr_scale is not None:
+            raise ValueError("llr_scale is a BPSK-path quirk knob; the "
+                             "soft demapper computes true LLRs")
+        from ..ops.modulation import demap_llr, modulate
+
+        sym = modulate(cw, mod)
+        noise = jax.random.normal(k_n, sym.shape + (2,), dtype=jnp.float32)
+        y = sym + sigma * jax.lax.complex(noise[..., 0], noise[..., 1])
+        llr = demap_llr(y, 2.0 * sigma * sigma, mod, demap)
     res = decode_fn(llr)
     decoded_info = res.bits[:, info_pos].astype(jnp.int8)
     bit_err = jnp.sum((decoded_info != u).astype(jnp.int32), axis=-1)  # [B]
@@ -190,6 +209,8 @@ def make_sharded_campaign_step(
     data_axis: str = DATA_AXIS,
     snr_axis: Optional[str] = None,
     outer: "Optional[tuple]" = None,
+    mod=None,
+    demap: str = "maxlog",
 ):
     """Build the sharded campaign step: (key, snr_db[num_snr]) -> SimStats
     with leading SNR axis [num_snr].
@@ -224,6 +245,7 @@ def make_sharded_campaign_step(
             return sim_step(
                 code, cfg, k, snr_local[i], batch_per_device,
                 encode_fn, decode_fn, llr_scale, outer=outer,
+                mod=mod, demap=demap,
             )
 
         keys = jax.random.split(key, snr_local.shape[0])
