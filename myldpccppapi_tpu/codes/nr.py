@@ -37,6 +37,7 @@ __all__ = [
     "triangular_encode_numpy",
     "rate_match_llr",
     "rate_match_bits",
+    "harq_combine",
     "rv_start",
     "lifting_set_index",
     "parse_bg_table",
@@ -312,6 +313,29 @@ def rate_match_bits(code: QCCode, cw: jax.Array, e: int, rv: int = 0,
         n_cb = buf.shape[-1]
     idx = (rv_start(code, rv, n_cb) + np.arange(e)) % n_cb
     return buf[..., idx]
+
+
+def harq_combine(code: QCCode, transmissions, n_cb: "int | None" = None) -> jax.Array:
+    """Soft-combine HARQ (re)transmissions into one decoder input.
+
+    ``transmissions``: sequence of ``(llr_e, rv)`` pairs — the received
+    [..., e_i] LLRs and redundancy version of each transmission of the SAME
+    code block (TS 38.212 §5.4.2.1 circular buffer).  Because AWGN LLRs of
+    independent observations add, chase combining (same rv) and incremental
+    redundancy (different rvs) are both exactly this sum: positions sent in
+    several transmissions accumulate energy, positions never sent stay 0
+    (erased).  Returns the [..., n] combined decoder input.
+
+    The reference has no HARQ analogue; this is the receive half of the NR
+    retransmission protocol on top of :func:`rate_match_llr`.
+    """
+    out = None
+    for llr_e, rv in transmissions:
+        full = rate_match_llr(code, llr_e, llr_e.shape[-1], rv, n_cb)
+        out = full if out is None else out + full
+    if out is None:
+        raise ValueError("at least one transmission required")
+    return out
 
 
 def rate_match_llr(code: QCCode, llr_e: jax.Array, e: int, rv: int = 0,

@@ -39,10 +39,12 @@ def sigma_from_snr_db(snr_db) -> jnp.ndarray:
     return 10.0 ** (-jnp.asarray(snr_db, dtype=jnp.float32) / 20.0)
 
 
-def snr_db_from_ebn0_db(ebn0_db, rate: float) -> jnp.ndarray:
+def snr_db_from_ebn0_db(ebn0_db, rate: float, bits_per_symbol: int = 1) -> jnp.ndarray:
     """Convert Eb/N0 (dB) to the Es/N0-style SNR used above, for a given
-    code rate (BPSK: Es = rate * Eb)."""
-    return jnp.asarray(ebn0_db, dtype=jnp.float32) + 10.0 * jnp.log10(rate)
+    code rate and modulation order (Es = rate * bits_per_symbol * Eb)."""
+    return jnp.asarray(ebn0_db, dtype=jnp.float32) + 10.0 * jnp.log10(
+        rate * bits_per_symbol
+    )
 
 
 def bpsk_modulate(bits: jax.Array) -> jax.Array:

@@ -270,3 +270,56 @@ def test_synthetic_base_graph_girth6_at_design_lifting():
                 delta = (base[i1, j1] - base[i1, j2]
                          + base[i2, j2] - base[i2, j1]) % NR_ZMAX
                 assert delta != 0, (bg, i1, i2, j1, j2)
+
+
+def test_harq_combine_single_equals_rate_match(rng):
+    from myldpccppapi_tpu.codes.nr import harq_combine, nr_code, rate_match_llr
+
+    code = nr_code(z=16, bg=2)
+    e = code.n - code.punctured_front
+    llr_e = jnp.asarray(rng.standard_normal((3, e)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(harq_combine(code, [(llr_e, 0)])),
+        np.asarray(rate_match_llr(code, llr_e, e, rv=0)),
+    )
+    with pytest.raises(ValueError, match="at least one"):
+        harq_combine(code, [])
+
+
+def test_harq_incremental_redundancy_recovers(rng):
+    """IR HARQ (TS 38.212 §5.4.2.1): an rv0 transmission too weak to decode
+    alone becomes decodable after soft-combining an rv2 retransmission; a
+    same-rv chase retransmission also recovers (LLRs add)."""
+    from myldpccppapi_tpu.codes.nr import (
+        harq_combine, nr_code, rate_match_bits, triangular_encode_numpy,
+    )
+
+    code = nr_code(z=32, bg=1)
+    batch = 8
+    u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
+    c = jnp.asarray(triangular_encode_numpy(code, u))
+    e = 28 * code.z  # high effective rate: only part of the buffer per tx
+    snr_db = 2.5
+    sigma = 10 ** (-snr_db / 20)
+    dec = Decoder(
+        code,
+        DecoderConfig(schedule="layered", normalization=0.8, max_iters=40),
+    )
+    nrng = np.random.default_rng(7)
+
+    def rx(rv):
+        tx = np.asarray(rate_match_bits(code, c, e, rv=rv)).astype(np.float32)
+        y = (1.0 - 2.0 * tx) + nrng.normal(0, sigma, tx.shape).astype(np.float32)
+        return jnp.asarray(2.0 * y / sigma**2)
+
+    rx0, rx2, rx0b = rx(0), rx(2), rx(0)
+    res_alone = dec(harq_combine(code, [(rx0, 0)]))
+    ok_alone = (
+        np.asarray(res_alone.converged)
+        & (np.asarray(res_alone.bits)[:, : code.k] == u).all(axis=1)
+    )
+    assert not ok_alone.all(), "operating point too easy: rv0 alone decodes"
+    for tx2 in [(rx2, 2), (rx0b, 0)]:  # IR and chase
+        res = dec(harq_combine(code, [(rx0, 0), tx2]))
+        assert np.asarray(res.converged).all()
+        assert (np.asarray(res.bits)[:, : code.k] == u).all()
