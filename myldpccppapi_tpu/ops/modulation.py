@@ -326,39 +326,38 @@ def demap_llr(y: jax.Array, n0, mod: Modulation, method: str = "maxlog") -> jax.
     Scans the M points carrying per-bit accumulators — no [., M] tensor.
     """
     m = mod.bits_per_symbol
-    pts = jnp.asarray(mod.points)
-    is_one = jnp.asarray(mod.labels.astype(bool))  # [M, m]
+    pts = np.asarray(mod.points)
+    labels = mod.labels  # static numpy: the point loop unrolls at trace time
     inv_n0 = 1.0 / jnp.asarray(n0, dtype=jnp.float32)
-    shape = y.shape + (m,)
+
+    # The loop over constellation points is a PYTHON loop (static M <= 256):
+    # XLA fuses all per-point distance/accumulator updates into one
+    # elementwise pass over the symbols, keeping the per-bit accumulators in
+    # registers.  A lax.scan here materializes the [.., m] carry pair to HBM
+    # every step (measured ~30 ms extra per 16.6M-symbol dispatch at M=16).
+    def per_bit_accumulate(update, init):
+        acc0 = [init] * m
+        acc1 = [init] * m
+        for p_idx in range(len(pts)):
+            d = jnp.square(jnp.abs(y - pts[p_idx]))
+            for i in range(m):
+                if labels[p_idx, i]:
+                    acc1[i] = update(acc1[i], d)
+                else:
+                    acc0[i] = update(acc0[i], d)
+        return acc0, acc1
 
     if method == "maxlog":
-        init = (jnp.full(shape, jnp.inf, jnp.float32),
-                jnp.full(shape, jnp.inf, jnp.float32))
-
-        def body(carry, pm):
-            p, one = pm
-            d = jnp.square(jnp.abs(y - p))[..., None]
-            m0, m1 = carry
-            m0 = jnp.where(one, m0, jnp.minimum(m0, d))
-            m1 = jnp.where(one, jnp.minimum(m1, d), m1)
-            return (m0, m1), None
-
-        (m0, m1), _ = jax.lax.scan(body, init, (pts, is_one))
-        llr = (m1 - m0) * inv_n0
+        m0, m1 = per_bit_accumulate(jnp.minimum, jnp.inf)
+        bit_llrs = [(b - a) * inv_n0 for a, b in zip(m0, m1)]
     elif method == "exact":
-        init = (jnp.full(shape, -jnp.inf, jnp.float32),
-                jnp.full(shape, -jnp.inf, jnp.float32))
+        # logsumexp of -d/n0 via running logaddexp (numerically stable)
+        def lse(acc, d):
+            return jnp.logaddexp(acc, -d * inv_n0)
 
-        def body(carry, pm):
-            p, one = pm
-            t = (-jnp.square(jnp.abs(y - p)) * inv_n0)[..., None]
-            l0, l1 = carry
-            l0 = jnp.where(one, l0, jnp.logaddexp(l0, t))
-            l1 = jnp.where(one, jnp.logaddexp(l1, t), l1)
-            return (l0, l1), None
-
-        (l0, l1), _ = jax.lax.scan(body, init, (pts, is_one))
-        llr = l0 - l1
+        l0, l1 = per_bit_accumulate(lse, -jnp.inf)
+        bit_llrs = [a - b for a, b in zip(l0, l1)]
     else:
         raise ValueError(f"method must be 'maxlog' or 'exact', got {method!r}")
+    llr = jnp.stack(bit_llrs, axis=-1)  # [..., S, m]
     return llr.reshape(y.shape[:-1] + (-1,))
