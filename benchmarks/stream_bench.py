@@ -48,7 +48,6 @@ def main():
     import jax.numpy as jnp
 
     from myldpccppapi_tpu import Decoder, DecoderConfig
-    from myldpccppapi_tpu.codes.encoder import Encoder, encode_numpy
 
     args = sys.argv[1:]
     label = args[0] if args and not args[0].startswith("-") else "stream_giant2"
@@ -60,13 +59,11 @@ def main():
     batch, n_pipe, snr_db = 256, 8, 2.6
 
     code = giant_code()
-    rng = np.random.default_rng(0)
-    enc = Encoder(code)
-    u = rng.integers(0, 2, size=(batch, code.k_info), dtype=np.uint8)
-    cw = encode_numpy(enc.mats, u)
+    # all-zeros codeword (valid for any linear code): the RU encoder
+    # precompute on a 76800x153600 H would dominate the bench setup
     sigma = 10 ** (-snr_db / 20)
-    sym_dev = jax.device_put(jnp.asarray(1.0 - 2.0 * cw.astype(np.float32)))
-    u_dev = jax.device_put(jnp.asarray(u, jnp.int8))
+    sym_dev = jax.device_put(jnp.ones((batch, code.n), jnp.float32))
+    u_dev = jax.device_put(jnp.zeros((batch, code.k_info), jnp.int8))
     pos = jnp.asarray(code.info_positions)
 
     cfg = DecoderConfig(

@@ -156,3 +156,67 @@ def test_stream_supported_rejects_masked_and_multiedge():
     cfg = DecoderConfig(schedule="layered")
     assert stream_supported(_staircase_qc(), cfg)       # plain QC: fine
     assert not stream_supported(dvbs2(16200, "1/2"), cfg)
+
+
+def test_stream_safe_table_brute_force():
+    """The double-buffer prefetch table must mark a slot safe only when its
+    column is a pad or is NOT written back by the previous layer (the RAW
+    hazard through the HBM posterior workspace)."""
+    from myldpccppapi_tpu.codes.wimax import wimax
+    from myldpccppapi_tpu.ops.pallas_stream import _safe_table, _tables
+
+    for code in [wimax(1152, "1/2"), _staircase_qc(z=96)]:
+        col_tab, _, dmax = _tables(code)
+        safe = _safe_table(col_tab, code.n_b)
+        m_b = col_tab.shape[0]
+        assert (safe[m_b - 1] == 0).all()  # never prefetch across the sweep
+        for i in range(m_b - 1):
+            cols_i = {int(c) for c in col_tab[i] if c < code.n_b}
+            for d in range(dmax):
+                j = int(col_tab[i + 1, d])
+                expect = 1 if (j >= code.n_b or j not in cols_i) else 0
+                assert safe[i, d] == expect, (i, d, j)
+        # the table must be non-trivial (some prefetch happens) on real codes
+        assert safe[: m_b - 1].sum() > 0
+
+
+@pytest.mark.slow
+def test_streaming_kernel_lazy_mode():
+    """Lazy syndrome mode (interpret): identical converged set and
+    converged-frame bits vs the exact-mode/jnp trajectory; converged =>
+    valid codeword (done is latched only by the exact pass)."""
+    import scipy.sparse as sp
+
+    from myldpccppapi_tpu.codes.encoder import Encoder, encode_numpy
+    from myldpccppapi_tpu.ops.bp import decode_qc
+    from myldpccppapi_tpu.ops.pallas_stream import decode_qc_stream
+
+    code = _staircase_qc()
+    rng = np.random.default_rng(1)
+    enc = Encoder(code)
+    u = rng.integers(0, 2, size=(4, code.k_info), dtype=np.uint8)
+    c = encode_numpy(enc.mats, u)
+    sigma = 10 ** (-2.3 / 20)
+    y = (1.0 - 2.0 * c.astype(np.float32)) + rng.normal(
+        0, sigma, c.shape
+    ).astype(np.float32)
+    llr = jnp.asarray(2.0 * y / sigma**2)
+    ref = decode_qc(
+        code, DecoderConfig(schedule="layered", normalization=0.8,
+                            max_iters=30), llr
+    )
+    res = decode_qc_stream(
+        code,
+        DecoderConfig(schedule="layered", normalization=0.8, max_iters=30,
+                      syndrome_mode="lazy"),
+        llr, True,
+    )
+    conv = np.asarray(res.converged)
+    assert (conv == np.asarray(ref.converged)).all()
+    assert (np.asarray(res.bits)[conv] == np.asarray(ref.bits)[conv]).all()
+    rows, cols = code.h_coo()
+    H = sp.coo_matrix(
+        (np.ones(len(rows)), (rows, cols)), shape=(code.m, code.n)
+    ).tocsr()
+    if conv.any():
+        assert int(((H @ np.asarray(res.bits)[conv].T) % 2).max()) == 0
