@@ -27,6 +27,10 @@ def _implementation(cfg: DecoderConfig, code) -> str:
         return cfg.implementation
     if not isinstance(code, QCCode):
         return "edgelist"
+    if cfg.soft_output:
+        # posterior-LLR output lives on the jnp path (the fused kernels
+        # keep their VMEM budget for decode state)
+        return "jnp"
     # Fused Pallas kernels on TPU when the code's working set fits VMEM;
     # the jnp/XLA path is the portable fallback (CPU tests, interpreters).
     try:
@@ -72,6 +76,18 @@ class Decoder:
         self.code = code
         self.config = config
         impl = _implementation(config, code)
+        if config.soft_output and impl in (
+            "pallas", "pallas_zlane", "pallas_stream"
+        ):
+            raise ValueError(
+                "soft_output is served by the jnp/edge-list paths; use "
+                'implementation="auto" (routes to jnp) or "jnp"'
+            )
+        if config.soft_output and config.triage_iters > 0:
+            raise ValueError(
+                "soft_output + triage is not supported: the two-phase "
+                "wrapper merges hard outputs only"
+            )
         if impl == "pallas":
             from .ops import pallas_bp
 

@@ -48,6 +48,10 @@ class DecodeResult(NamedTuple):
     #: syndrome AND CRC both pass.  None = syndrome-only decode, where
     #: acceptance is :attr:`converged` (use :attr:`ok`).
     accepted: "jax.Array | None" = None
+    #: [B, n] float posterior LLRs (positive => bit 0), latched at each
+    #: frame's convergence like :attr:`bits`; None unless
+    #: ``DecoderConfig.soft_output`` (jnp / edge-list paths).
+    posteriors: "jax.Array | None" = None
 
     @property
     def ok(self) -> jax.Array:
@@ -232,9 +236,13 @@ def decode_flooding(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeR
     bits0 = jnp.zeros((n_b, z, bsz), dtype=jnp.bool_)
     done0 = jnp.zeros((bsz,), dtype=jnp.bool_)
     iters0 = jnp.zeros((bsz,), dtype=jnp.int32)
+    soft = cfg.soft_output
+    # latched posterior (soft output); a [1]*3 dummy when off so the carry
+    # structure is static
+    post0 = chan if soft else jnp.zeros((1, 1, 1), dtype)
 
     def body(carry):
-        q, bits_out, done, iters, t = carry
+        q, bits_out, post_out, done, iters, t = carry
         # check-node update, layer by layer (each a contiguous static slice)
         r = jnp.concatenate(
             [check_update(q[p0:p1]) for ((p0, p1), _) in layers], axis=0
@@ -274,22 +282,24 @@ def decode_flooding(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeR
 
         keep = done[None, None, :]
         bits_out = jnp.where(keep, bits_out, bits)
+        if soft:
+            post_out = jnp.where(keep, post_out, post)
         iters = jnp.where(done, iters, t + 1)
         # acceptance latch: syndrome-clean, and CRC-clean when CRC-aided —
         # a frame converged to a wrong codeword keeps decoding (38.212 §5.1)
         accept = ~fail if crc_fail is None else ~fail & ~crc_fail(bits)
         done = done | accept
-        return q_next, bits_out, done, iters, t + 1
+        return q_next, bits_out, post_out, done, iters, t + 1
 
     def cond(carry):
-        _, _, done, _, t = carry
+        _, _, _, done, _, t = carry
         c = t < cfg.max_iters
         if cfg.early_exit:
             c = c & ~jnp.all(done)
         return c
 
-    q, bits_out, done, iters, t = jax.lax.while_loop(
-        cond, body, (q0, bits0, done0, iters0, jnp.int32(0))
+    q, bits_out, post_out, done, iters, t = jax.lax.while_loop(
+        cond, body, (q0, bits0, post0, done0, iters0, jnp.int32(0))
     )
     if crc_fail is None:
         conv, accepted = done, None
@@ -304,6 +314,7 @@ def decode_flooding(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeR
         iterations=iters,
         total_iters=t,
         accepted=accepted,
+        posteriors=_from_blocks(post_out) if soft else None,
     )
 
 
@@ -326,9 +337,11 @@ def decode_layered(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeRe
     bits0 = jnp.zeros((n_b, z, bsz), dtype=jnp.bool_)
     done0 = jnp.zeros((bsz,), dtype=jnp.bool_)
     iters0 = jnp.zeros((bsz,), dtype=jnp.int32)
+    soft = cfg.soft_output
+    post_out0 = chan if soft else jnp.zeros((1, 1, 1), llr.dtype)
 
     def body(carry):
-        r, post, bits_out, done, iters, t = carry
+        r, post, bits_out, post_out, done, iters, t = carry
         for ((p0, p1), entries) in layers:
             qs = []
             for (e, j, s, mask) in entries:
@@ -353,12 +366,14 @@ def decode_layered(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeRe
         fail = _syndrome_fail(bits, layers)
         keep = done[None, None, :]
         bits_out = jnp.where(keep, bits_out, bits)
+        if soft:
+            post_out = jnp.where(keep, post_out, post)
         iters = jnp.where(done, iters, t + 1)
         # acceptance latch: syndrome AND (when CRC-aided) CRC — see
         # decode_flooding
         accept = ~fail if crc_fail is None else ~fail & ~crc_fail(bits)
         done = done | accept
-        return r, post, bits_out, done, iters, t + 1
+        return r, post, bits_out, post_out, done, iters, t + 1
 
     def cond(carry):
         *_, done, _, t = carry
@@ -367,8 +382,8 @@ def decode_layered(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeRe
             c = c & ~jnp.all(done)
         return c
 
-    r, post, bits_out, done, iters, t = jax.lax.while_loop(
-        cond, body, (r0, chan, bits0, done0, iters0, jnp.int32(0))
+    r, post, bits_out, post_out, done, iters, t = jax.lax.while_loop(
+        cond, body, (r0, chan, bits0, post_out0, done0, iters0, jnp.int32(0))
     )
     if crc_fail is None:
         conv, accepted = done, None
@@ -380,6 +395,7 @@ def decode_layered(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeRe
         iterations=iters,
         total_iters=t,
         accepted=accepted,
+        posteriors=_from_blocks(post_out) if soft else None,
     )
 
 

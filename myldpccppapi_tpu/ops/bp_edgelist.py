@@ -189,8 +189,11 @@ def decode_edgelist(idx: EdgeIndex, cfg: DecoderConfig, llr: jax.Array,
         r = r.at[flat].set(rn_flat, mode="drop")
         return r, post
 
+    soft = cfg.soft_output
+    post_out0 = chan if soft else jnp.zeros((1, 1), jnp.float32)
+
     def body(carry):
-        r, post, bits_out, done, iters, t = carry
+        r, post, bits_out, post_out, done, iters, t = carry
         if layered:
             r, post = jax.lax.fori_loop(
                 0, idx.num_layers, layer_update, (r, post)
@@ -206,11 +209,13 @@ def decode_edgelist(idx: EdgeIndex, cfg: DecoderConfig, llr: jax.Array,
         fail = syndrome_fail(post)
         keep = done[None, :]
         bits_out = jnp.where(keep, bits_out, bits)
+        if soft:
+            post_out = jnp.where(keep, post_out, post)
         iters = jnp.where(done, iters, t + 1)
         # acceptance latch: syndrome AND (when CRC-aided) CRC — see ops/bp.py
         accept = ~fail if crc_fail is None else ~fail & ~crc_fail(bits.T)
         done = done | accept
-        return r, post, bits_out, done, iters, t + 1
+        return r, post, bits_out, post_out, done, iters, t + 1
 
     def cond(carry):
         *_, done, _, t = carry
@@ -223,11 +228,14 @@ def decode_edgelist(idx: EdgeIndex, cfg: DecoderConfig, llr: jax.Array,
         jnp.zeros((e, b), jnp.float32),
         chan,
         jnp.zeros((idx.n, b), jnp.bool_),
+        post_out0,
         jnp.zeros((b,), jnp.bool_),
         jnp.zeros((b,), jnp.int32),
         jnp.int32(0),
     )
-    _, post, bits_out, done, iters, t = jax.lax.while_loop(cond, body, carry0)
+    _, post, bits_out, post_out, done, iters, t = jax.lax.while_loop(
+        cond, body, carry0
+    )
     if crc_fail is None:
         conv, accepted = done, None
     else:
@@ -240,4 +248,5 @@ def decode_edgelist(idx: EdgeIndex, cfg: DecoderConfig, llr: jax.Array,
         iterations=iters,
         total_iters=t,
         accepted=accepted,
+        posteriors=post_out.T if soft else None,
     )

@@ -68,6 +68,14 @@ class DecoderConfig:
     #: errors (``DecodeResult.accepted``).  None = syndrome-only acceptance
     #: (the reference semantics).
     crc: Optional[str] = None
+    #: Return per-bit posterior LLRs alongside the hard decisions
+    #: (``DecodeResult.posteriors``, latched at each frame's convergence
+    #: like the bits).  Soft output feeds iterative demapping / turbo
+    #: equalization / outer soft decoders — the reference is hard-decision
+    #: only (``decodeCL.c:188-199``).  Served by the jnp/edge-list paths;
+    #: auto dispatch routes soft-output decodes to jnp (the fused kernels
+    #: keep their VMEM budget for decode state).
+    soft_output: bool = False
     #: Convergence-check strategy inside the fused kernels.
     #: "exact": full syndrome pass (per-edge circulant rolls of the
     #: posterior) after every sweep — iteration counts and results are

@@ -116,3 +116,91 @@ def test_all_wimax_rates_decode():
         res = Decoder(code, DecoderConfig(schedule="layered"))(jnp.asarray(llr))
         assert np.asarray(res.converged).all(), rate
         assert (np.asarray(res.bits)[:, : code.k] == u).all(), rate
+
+
+class TestSoftOutput:
+    """DecoderConfig.soft_output: posterior LLRs latched at convergence."""
+
+    def _decode(self, schedule, **kw):
+        import jax
+
+        from myldpccppapi_tpu.codes.encoder import Encoder, encode_numpy
+        from myldpccppapi_tpu.codes.wimax import wimax
+        from myldpccppapi_tpu.decoder import Decoder
+        from myldpccppapi_tpu.utils.config import DecoderConfig
+
+        code = wimax(576, "1/2")
+        rng = np.random.default_rng(5)
+        enc = Encoder(code)
+        u = rng.integers(0, 2, size=(32, code.k_info), dtype=np.uint8)
+        c = encode_numpy(enc.mats, u)
+        sigma = 10 ** (-2.8 / 20)
+        y = (1.0 - 2.0 * c.astype(np.float32)) + rng.normal(
+            0, sigma, c.shape
+        ).astype(np.float32)
+        llr = jnp.asarray(2.0 * y / sigma**2)
+        cfg = DecoderConfig(schedule=schedule, normalization=0.75,
+                            soft_output=True, **kw)
+        dec = Decoder(code, cfg)
+        return dec, dec(llr), llr
+
+    @pytest.mark.parametrize("schedule", ["layered", "flooding"])
+    def test_posterior_signs_match_bits(self, schedule):
+        dec, res, _ = self._decode(schedule)
+        assert dec.implementation == "jnp"  # auto routes soft output to jnp
+        post = np.asarray(res.posteriors)
+        assert post.shape == res.bits.shape
+        np.testing.assert_array_equal(
+            (post <= 0).astype(np.uint8), np.asarray(res.bits)
+        )
+
+    def test_posterior_latched_at_convergence(self):
+        """A converged frame's posterior must not depend on how many extra
+        iterations the rest of the batch burns (same latch as bits)."""
+        _, res20, _ = self._decode("layered", max_iters=20)
+        _, res40, _ = self._decode("layered", max_iters=40)
+        m = np.asarray(res20.converged) & np.asarray(res40.converged)
+        assert m.any()
+        np.testing.assert_array_equal(
+            np.asarray(res20.posteriors)[m], np.asarray(res40.posteriors)[m]
+        )
+
+    def test_soft_output_off_returns_none(self):
+        from myldpccppapi_tpu.codes.wimax import wimax
+        from myldpccppapi_tpu.decoder import Decoder
+        from myldpccppapi_tpu.utils.config import DecoderConfig
+
+        code = wimax(576, "1/2")
+        dec = Decoder(code, DecoderConfig(implementation="jnp"))
+        res = dec(jnp.ones((4, code.n), jnp.float32))
+        assert res.posteriors is None
+
+    def test_fused_impl_rejected(self):
+        from myldpccppapi_tpu.codes.wimax import wimax
+        from myldpccppapi_tpu.decoder import Decoder
+        from myldpccppapi_tpu.utils.config import DecoderConfig
+
+        code = wimax(576, "1/2")
+        with pytest.raises(ValueError, match="soft_output"):
+            Decoder(code, DecoderConfig(implementation="pallas",
+                                        soft_output=True))
+        with pytest.raises(ValueError, match="triage"):
+            Decoder(code, DecoderConfig(implementation="jnp",
+                                        soft_output=True, triage_iters=5))
+
+    def test_edgelist_soft_output(self):
+        from myldpccppapi_tpu.codes.wimax import wimax
+        from myldpccppapi_tpu.decoder import Decoder
+        from myldpccppapi_tpu.utils.config import DecoderConfig
+
+        code = wimax(576, "1/2")
+        cfg = DecoderConfig(schedule="layered", normalization=0.75,
+                            implementation="edgelist", soft_output=True)
+        dec = Decoder(code, cfg)
+        rng = np.random.default_rng(2)
+        llr = jnp.asarray(rng.normal(2.0, 1.0, (8, code.n)).astype(np.float32))
+        res = dec(llr)
+        post = np.asarray(res.posteriors)
+        np.testing.assert_array_equal(
+            (post <= 0).astype(np.uint8), np.asarray(res.bits)
+        )
