@@ -114,10 +114,12 @@ class Decoder:
         self._fn = self._build_fn(config)
         if config.triage_iters > 0:
             self._fn = self._make_triage()
-        if config.crc and impl in ("pallas", "pallas_zlane", "pallas_stream"):
-            # fused kernels early-exit on the syndrome alone; CRC-aided
-            # acceptance wraps them (ops/crc_accept.py) — semantically
-            # identical to an in-kernel CRC latch because the bit-exact jnp
+        if (config.crc or config.outer) and impl in (
+            "pallas", "pallas_zlane", "pallas_stream"
+        ):
+            # fused kernels early-exit on the syndrome alone; CRC/outer-
+            # aided acceptance wraps them (ops/crc_accept.py) — semantically
+            # identical to an in-kernel latch because the bit-exact jnp
             # re-decode replays the kernel's trajectory and continues
             self._fn = self._make_crc_accept()
 
@@ -153,11 +155,9 @@ class Decoder:
                     idx = build_edge_index(rows, cols, self.code.n,
                                            self.code.m, layer)
                 self._edge_idx = idx
-            crc_fail = None
-            if cfg.crc:
-                from .ops.bp import crc_fail_fn
+            from .ops.bp import accept_fail_fn
 
-                crc_fail = crc_fail_fn(self.code, cfg.crc)
+            crc_fail = accept_fail_fn(self.code, cfg)
             return jax.jit(
                 partial(decode_edgelist, self._edge_idx, cfg,
                         crc_fail=crc_fail)
@@ -191,16 +191,17 @@ class Decoder:
         return fn
 
     def _make_crc_accept(self):
-        """Wrap the (kernel, possibly triage-wrapped) decoder with CRC-aided
-        acceptance: syndrome-converged frames failing the CRC are re-decoded
-        by the CRC-aware jnp path at the full budget (ops/crc_accept.py)."""
+        """Wrap the (kernel, possibly triage-wrapped) decoder with CRC- /
+        outer-code-aided acceptance: syndrome-converged frames failing the
+        integrity check are re-decoded by the bit-exact check-aware jnp
+        path at the full budget (ops/crc_accept.py)."""
         import dataclasses
 
-        from .ops.bp import crc_fail_fn
+        from .ops.bp import accept_fail_fn
         from .ops.crc_accept import decode_with_crc_accept
 
         cfg = self.config
-        fail = crc_fail_fn(self.code, cfg.crc)
+        fail = accept_fail_fn(self.code, cfg)
         retry_cfg = dataclasses.replace(
             cfg, implementation="jnp", triage_iters=0
         )

@@ -192,11 +192,54 @@ def crc_fail_fn(code, crc: str):
     return fail
 
 
-def _crc_fail_blocks(code, cfg: DecoderConfig):
-    """cfg.crc -> callable on [n_b, z, B] hard bits (or None)."""
-    if not cfg.crc:
+def outer_fail_fn(code, outer):
+    """[B, n]-bits -> bool[B] "outer code fails" check (DecoderConfig.outer).
+
+    ``("bch", m, t)``: the EN 302 307 outer BCH parity occupies the last
+    m*t' bits of the information block (codes/bch.py); detection is one
+    int8 MXU bit-matmul, so it rides the acceptance latch exactly like the
+    CRC (the in-loop variant of the DVB receiver's BCH check).
+    """
+    kind, m, t = outer
+    if kind != "bch":
+        raise ValueError(f"unknown outer code {kind!r}")
+    from ..codes.bch import bch_check_fn, bch_matrix
+
+    par = bch_matrix(1, m, t).shape[1]
+    k_info = code.k_info
+    if k_info <= par:
+        raise ValueError(
+            f"outer BCH needs k_info > {par}, code has k_info={k_info}"
+        )
+    pos = jnp.asarray(np.asarray(code.info_positions))
+    check = bch_check_fn(k_info - par, m, t)
+
+    def fail(bits_flat: jax.Array) -> jax.Array:
+        return ~check(bits_flat[:, pos].astype(jnp.int8))
+
+    return fail
+
+
+def accept_fail_fn(code, cfg: DecoderConfig):
+    """The combined integrity check of cfg.crc and cfg.outer:
+    [B, n]-bits -> bool[B] "rejected" (or None when neither is set)."""
+    fails = []
+    if cfg.crc:
+        fails.append(crc_fail_fn(code, cfg.crc))
+    if cfg.outer:
+        fails.append(outer_fail_fn(code, cfg.outer))
+    if not fails:
         return None
-    fail = crc_fail_fn(code, cfg.crc)
+    if len(fails) == 1:
+        return fails[0]
+    return lambda bits: fails[0](bits) | fails[1](bits)
+
+
+def _crc_fail_blocks(code, cfg: DecoderConfig):
+    """cfg.crc/cfg.outer -> callable on [n_b, z, B] hard bits (or None)."""
+    fail = accept_fail_fn(code, cfg)
+    if fail is None:
+        return None
     return lambda bits_blocks: fail(_from_blocks(bits_blocks))
 
 

@@ -139,8 +139,16 @@ def sim_step(
     kbits = len(info_pos)
     k_u, k_n = jax.random.split(key)
     outer_check = None
-    if cfg.crc and outer is not None:
+    if cfg.crc and (outer is not None or cfg.outer):
         raise ValueError("choose either cfg.crc or an outer code, not both")
+    if cfg.outer:
+        if outer is not None and tuple(outer) != tuple(cfg.outer):
+            raise ValueError(
+                f"outer={outer} disagrees with cfg.outer={cfg.outer}"
+            )
+        # in-loop outer acceptance: the decoder's latch already requires
+        # BCH detection (DecoderConfig.outer); the sim only attaches
+        outer = cfg.outer
     if cfg.crc:
         from ..codes.crc import CRC_POLYS, crc_attach_fn
 
@@ -157,7 +165,10 @@ def sim_step(
         par = bch_matrix(1, m, t).shape[1]
         k_msg = kbits - par
         attach = bch_attach_fn(k_msg, m, t)
-        outer_check = bch_check_fn(k_msg, m, t)
+        if not cfg.outer:
+            # post-decode acceptance (the DVB receiver's flow); with
+            # cfg.outer the decoder's own latch requires BCH detection
+            outer_check = bch_check_fn(k_msg, m, t)
         msg = jax.random.bernoulli(k_u, 0.5, (batch, k_msg)).astype(jnp.int8)
         u = attach(msg)  # [B, kbits] message || BCH parity (BCHFEC)
     else:

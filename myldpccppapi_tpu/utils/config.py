@@ -68,6 +68,14 @@ class DecoderConfig:
     #: errors (``DecodeResult.accepted``).  None = syndrome-only acceptance
     #: (the reference semantics).
     crc: Optional[str] = None
+    #: Outer-code-aided acceptance, same latch semantics as :attr:`crc`
+    #: but for a GF(2)-linear outer code filling the tail of the
+    #: information block: ``("bch", m, t)`` requires the EN 302 307 outer
+    #: BCH detection (codes/bch.py) to pass before a frame is accepted —
+    #: the in-loop variant of the DVB receiver's post-decode BCH check,
+    #: detecting wrong-codeword convergence exactly like the NR CRC flow.
+    #: Composable with :attr:`crc` (both must pass).
+    outer: Optional[Tuple[str, int, int]] = None
     #: Return per-bit posterior LLRs alongside the hard decisions
     #: (``DecodeResult.posteriors``, latched at each frame's convergence
     #: like the bits).  Soft output feeds iterative demapping / turbo
@@ -110,6 +118,15 @@ class DecoderConfig:
             if self.crc not in CRC_POLYS:
                 raise ValueError(
                     f"unknown crc {self.crc!r}; choose from {sorted(CRC_POLYS)}"
+                )
+        if self.outer is not None:
+            if (
+                len(self.outer) != 3
+                or self.outer[0] != "bch"
+                or not all(isinstance(x, int) for x in self.outer[1:])
+            ):
+                raise ValueError(
+                    f'outer must be ("bch", m, t), got {self.outer!r}'
                 )
 
 

@@ -245,3 +245,104 @@ def test_crc_without_early_exit(wimax12):
     assert acc[:4].all() and not acc[4:].any()
     assert (np.asarray(r.iterations)[:4] == 1).all()
     assert np.asarray(r.converged).all()   # all are valid codewords
+
+
+# ---------------------------------------------------------------------------
+# Outer-code (BCH) in-loop acceptance: DecoderConfig.outer
+# ---------------------------------------------------------------------------
+
+
+def _bch_frames(code, m, t, n_frames=4, seed=0):
+    """(llr_good, llr_bad): clean LLRs of valid LDPC codewords whose info
+    blocks carry a consistent / broken outer-BCH parity field."""
+    from myldpccppapi_tpu.codes.bch import bch_attach_fn, bch_matrix
+
+    par = bch_matrix(1, m, t).shape[1]
+    k_msg = code.k_info - par
+    attach = bch_attach_fn(k_msg, m, t)
+    rng = np.random.default_rng(seed)
+    msg = rng.integers(0, 2, (n_frames, k_msg)).astype(np.int8)
+    u_good = np.asarray(attach(jnp.asarray(msg)))
+    u_bad = u_good.copy()
+    u_bad[:, 5] ^= 1  # message flip => parity field no longer matches
+    enc = matmul_encode_fn(code)
+    to_llr = lambda u: jnp.asarray(
+        (1.0 - 2.0 * np.asarray(enc(jnp.asarray(u)))) * 4.0, jnp.float32
+    )
+    return to_llr(u_good), to_llr(u_bad)
+
+
+@pytest.mark.parametrize("impl", ["jnp", "edgelist"])
+def test_outer_bch_rejects_wrong_codeword(wimax12, impl):
+    """cfg.outer folds the EN 302 307 BCH detection into the acceptance
+    latch exactly like cfg.crc: a valid LDPC codeword with a broken BCHFEC
+    is rejected and keeps decoding; a consistent one accepts in one
+    iteration."""
+    m, t = 9, 2
+    llr_good, llr_bad = _bch_frames(wimax12, m, t)
+    cfg = DecoderConfig(schedule="layered", outer=("bch", m, t),
+                        implementation=impl, max_iters=12)
+    dec = Decoder(wimax12, cfg)
+
+    r = dec(llr_good)
+    assert bool(jnp.all(r.accepted)) and bool(jnp.all(r.converged))
+    assert bool(jnp.all(r.iterations == 1))
+
+    r = dec(llr_bad)
+    assert not bool(jnp.any(r.accepted))
+    assert bool(jnp.all(r.converged))
+    assert bool(jnp.all(r.iterations == cfg.max_iters))
+
+
+def test_outer_bch_wrapper_matches_inloop(wimax12):
+    """The fused-kernel wrapper path (syndrome-only inner + outer-aware
+    retry) must equal the in-loop outer-aided jnp decoder exactly."""
+    from myldpccppapi_tpu.ops.bp import accept_fail_fn
+    from myldpccppapi_tpu.ops.crc_accept import decode_with_crc_accept
+
+    m, t = 9, 2
+    llr_good, llr_bad = _bch_frames(wimax12, m, t, n_frames=6)
+    llr = jnp.concatenate([llr_good, llr_bad])
+    cfg = DecoderConfig(schedule="layered", outer=("bch", m, t),
+                        implementation="jnp", max_iters=10)
+    ref = decode_qc(wimax12, cfg, llr)
+    inner_cfg = dataclasses.replace(cfg, outer=None)
+    inner = partial(decode_qc, wimax12, inner_cfg)
+    retry = partial(decode_qc, wimax12, cfg)
+    fail = accept_fail_fn(wimax12, cfg)
+    res = decode_with_crc_accept(inner, retry, fail, llr, cap=8)
+    np.testing.assert_array_equal(np.asarray(res.bits), np.asarray(ref.bits))
+    np.testing.assert_array_equal(
+        np.asarray(res.accepted), np.asarray(ref.accepted)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.iterations), np.asarray(ref.iterations)
+    )
+
+
+def test_sim_step_cfg_outer_reports_split(wimax12):
+    """sim_step with cfg.outer attaches the BCHFEC and the undetected/
+    rejected split comes from the decoder's own latch."""
+    from myldpccppapi_tpu.parallel.sim import sim_step
+
+    cfg = DecoderConfig(schedule="layered", normalization=0.75,
+                        outer=("bch", 9, 2), implementation="jnp",
+                        max_iters=20)
+    stats = jax.jit(
+        lambda k, s: sim_step(wimax12, cfg, k, s, 64)
+    )(jax.random.PRNGKey(0), jnp.float32(6.0))
+    assert int(stats.frames) == 64
+    assert int(stats.frame_errors) == 0
+    assert int(stats.undetected_errors) == 0
+
+
+def test_cfg_crc_and_outer_compose(wimax12):
+    """Both integrity checks may be configured; acceptance requires both."""
+    from myldpccppapi_tpu.ops.bp import accept_fail_fn
+
+    cfg = DecoderConfig(crc="16", outer=("bch", 9, 2))
+    fail = accept_fail_fn(wimax12, cfg)
+    bits = jnp.zeros((3, wimax12.n), jnp.uint8)  # all-zeros: both pass
+    assert not bool(jnp.any(fail(bits)))
+    bad = bits.at[:, 7].set(1)  # breaks both fields' consistency
+    assert bool(jnp.all(fail(bad)))
