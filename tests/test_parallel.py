@@ -107,3 +107,24 @@ def test_sharded_campaign_step_with_crc():
     assert int(stats.frame_errors.sum()) == 0
     assert int(stats.undetected_errors.sum()) == 0
     assert int(stats.crc_rejected.sum()) == 0
+
+
+def test_sharded_step_with_modulation(setup):
+    """The higher-order-modulation channel (complex AWGN + soft demap)
+    composes with shard_map/psum: sharded statistics at a clean operating
+    point decode error-free, and frame accounting is exact."""
+    from myldpccppapi_tpu.ops.modulation import make_modulation
+
+    code, cfg, _ = setup
+    mesh = make_mesh((2, 4), ("snr", "data"))
+    step = make_sharded_campaign_step(
+        code, cfg, mesh, batch_per_device=4, num_snr=2,
+        snr_axis="snr", mod=make_modulation("16qam"),
+    )
+    stats = jax.jit(step)(
+        jax.random.PRNGKey(3), jnp.asarray([15.0, 16.0], jnp.float32)
+    )
+    frames = np.asarray(stats.frames)
+    assert (frames == 16).all()  # 4 per device * 4 data shards per point
+    assert (np.asarray(stats.frame_errors) == 0).all()
+    assert (np.asarray(stats.unconverged) == 0).all()
