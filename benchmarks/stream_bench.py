@@ -53,9 +53,11 @@ def main():
     label = args[0] if args and not args[0].startswith("-") else "stream_giant2"
     lazy = "--lazy" in args
     impl = "pallas_stream"
-    for a in args:
+    for pos, a in enumerate(args):
         if a.startswith("--impl="):
             impl = a.split("=", 1)[1]
+        elif a == "--impl" and pos + 1 < len(args):
+            impl = args[pos + 1]
     batch, n_pipe, snr_db = 256, 8, 2.6
 
     code = giant_code()

@@ -338,15 +338,24 @@ def harq_combine(code: QCCode, transmissions, n_cb: "int | None" = None) -> jax.
     return out
 
 
-def rate_match_llr(code: QCCode, llr_e: jax.Array, e: int, rv: int = 0,
-                   n_cb: "int | None" = None) -> jax.Array:
+def rate_match_llr(code: QCCode, llr_e: jax.Array, e: "int | None" = None,
+                   rv: int = 0, n_cb: "int | None" = None) -> jax.Array:
     """[..., e] received LLRs -> [..., n] decoder input.
+
+    ``e`` (the transmitted length) is implied by ``llr_e`` and may be
+    omitted; passing a mismatched value is rejected.
 
     Untransmitted buffer positions get LLR 0 (unknown); repeated positions
     accumulate (soft combining — also correct for HARQ retransmissions
     decoded jointly); the 2Z never-transmitted punctured bits get LLR 0 as
     well.
     """
+    if e is None:
+        e = llr_e.shape[-1]
+    elif e != llr_e.shape[-1]:
+        raise ValueError(
+            f"e={e} disagrees with llr_e.shape[-1]={llr_e.shape[-1]}"
+        )
     p = code.punctured_front
     n_buf = code.n - p
     if n_cb is None:

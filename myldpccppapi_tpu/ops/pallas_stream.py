@@ -213,6 +213,13 @@ def _build_stream_kernel(code: QCCode, cfg: DecoderConfig, bt: int,
                     def _():
                         dma_r_in(buf, i).start()
                 else:
+                    # single-buffer: the previous layer's r writeback reads
+                    # the SAME tile this load overwrites — wait it first
+                    # (also keeps rout_sem balanced at one wait per start)
+                    @pl.when(i > 0)
+                    def _():
+                        dma_r_out(buf, i - 1).wait()
+
                     dma_r_in(buf, i).start()
                 for d in range(dmax):
                     dma_p_in(buf, d, col_tab[i, d]).wait()

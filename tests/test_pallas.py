@@ -220,3 +220,31 @@ def test_streaming_kernel_lazy_mode():
     ).tocsr()
     if conv.any():
         assert int(((H @ np.asarray(res.bits)[conv].T) % 2).max()) == 0
+
+
+def test_streaming_kernel_single_buffer_path(monkeypatch):
+    """The nbuf=1 fallback (huge layers where doubled tiles exceed VMEM)
+    must stay bit-exact: its r-writeback wait runs per layer (a missing
+    wait here once raced dma_r_in against the previous layer's store)."""
+    from myldpccppapi_tpu.codes.encoder import Encoder, encode_numpy
+    from myldpccppapi_tpu.ops import pallas_stream
+    from myldpccppapi_tpu.ops.bp import decode_qc
+
+    monkeypatch.setattr(pallas_stream, "_pick_nbuf", lambda z, dmax: 1)
+    code = _staircase_qc(z=96)
+    rng = np.random.default_rng(4)
+    enc = Encoder(code)
+    u = rng.integers(0, 2, size=(4, code.k_info), dtype=np.uint8)
+    c = encode_numpy(enc.mats, u)
+    sigma = 10 ** (-2.0 / 20)
+    y = (1.0 - 2.0 * c.astype(np.float32)) + rng.normal(
+        0, sigma, c.shape
+    ).astype(np.float32)
+    llr = jnp.asarray(2.0 * y / sigma**2)
+    cfg = DecoderConfig(schedule="layered", normalization=0.8, max_iters=20)
+    ref = decode_qc(code, cfg, llr)
+    res = pallas_stream.decode_qc_stream(code, cfg, llr, True)
+    np.testing.assert_array_equal(np.asarray(res.bits), np.asarray(ref.bits))
+    np.testing.assert_array_equal(
+        np.asarray(res.iterations), np.asarray(ref.iterations)
+    )
