@@ -541,6 +541,80 @@ def config4(z=384, bg=1, batch=512, label=4, sweep=None):
     })
 
 
+def config4m(snr_db=13.5):
+    """Config-4 code (NR BG1 Z=384) received as 64QAM (TS 38.211 §5.1.5):
+    the timed dispatch max-log-demaps 4224 complex symbols/frame, de-rate-
+    matches the e=25344 rv0 LLRs into the circular buffer, and decodes on
+    the z-lane kernel — the full NR PDSCH-shaped receive path."""
+    import jax
+    import jax.numpy as jnp
+
+    from myldpccppapi_tpu import Decoder, DecoderConfig
+    from myldpccppapi_tpu.codes.nr import (
+        nr_code, rate_match_bits, rate_match_llr, triangular_encode_fn,
+    )
+    from myldpccppapi_tpu.ops.modulation import demap_llr, make_modulation
+
+    batch = 512
+    code = nr_code(z=384, bg=1)
+    enc = jax.jit(triangular_encode_fn(code))
+    rng = np.random.default_rng(0)
+    e = code.n - code.punctured_front  # full buffer, rv0
+    u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
+    cw = np.asarray(enc(jnp.asarray(u)))
+    tx = np.asarray(rate_match_bits(code, jnp.asarray(cw), e)).astype(np.int64)
+    modu = make_modulation("64qam")
+    mbits_sym = modu.bits_per_symbol
+    idx = tx.reshape(batch, -1, mbits_sym) @ (1 << np.arange(mbits_sym))
+    sym_np = modu.lut()[idx]
+    # float32 I/Q planes: the tunnel cannot host-transfer complex64
+    sym_dev = jax.device_put(jnp.asarray(
+        np.stack([sym_np.real, sym_np.imag], axis=-1, dtype=np.float32)))
+    u_dev = jax.device_put(jnp.asarray(u, jnp.int8))
+    sigma = 10 ** (-snr_db / 20)
+    dec = Decoder(
+        code, DecoderConfig(schedule="layered", normalization=0.8,
+                            max_iters=30)
+    )
+
+    @jax.jit
+    def make_rx(key):
+        nz = jax.random.normal(key, sym_dev.shape, jnp.float32)
+        y = sym_dev + sigma * nz
+        return jax.lax.complex(y[..., 0], y[..., 1])
+
+    @jax.jit
+    def one(rx, u_ref):
+        llr_e = demap_llr(rx, 2.0 * sigma * sigma, modu)
+        llr = rate_match_llr(code, llr_e)
+        res = dec(llr)
+        berr = jnp.sum(
+            (res.bits[:, : code.k].astype(jnp.int8) != u_ref).astype(jnp.int32)
+        )
+        return jnp.stack([jnp.sum(res.iterations),
+                          jnp.sum(jnp.where(res.converged, 1, 0)), berr])
+
+    one_fn = lambda rx: one(rx, u_dev)
+    make_input = lambda i: make_rx(jax.random.PRNGKey(3000 + i))
+    n_pipe = 16
+    dt, agg = _pipe_rounds(one_fn, make_input, n_pipe)
+    dt_lo, n_lo = _depth_fit(one_fn, make_input, n_pipe)
+    frames = n_pipe * batch
+    iters_sum, conv_sum, berr = (int(x) for x in agg)
+    _emit({
+        "config": "4m", "name": "nr_bg1_z384_rv0_64qam_b512",
+        "mod": "64qam", "demap": "maxlog", "snr_db": snr_db,
+        "throughput_mbits": round(frames * code.k / dt / 1e6, 3),
+        "fit": _fit_record(dt, n_pipe, dt_lo, n_lo, batch * code.k),
+        "round_ms": round(dt * 1e3, 3), "frames_per_round": frames,
+        "pipelined_dispatches": n_pipe,
+        "conv_rate": round(conv_sum / frames, 4),
+        "mean_iters": round(iters_sum / frames, 2),
+        "bit_errors": berr,
+        "impl": dec.implementation,
+    })
+
+
 def config4b():
     """NR BG2 at the design lifting Z=384 (n=19200, k=3840 before CRC):
     the low-rate base graph exercises different row degrees and the
@@ -663,9 +737,10 @@ def main():
         jax.config.update("jax_num_cpu_devices", 8)
     fns = {"1": config1, "1g": config1g, "1c": config1c, "2": config2,
            "3": config3, "3s": config3s, "3h": config3h, "3m": config3m,
-           "4": config4,
+           "4": config4, "4m": config4m,
            "4b": config4b, "4c": config4c, "5": config5}
-    wanted = args or ["1", "1g", "1c", "2", "3", "3s", "3h", "3m", "4", "4b",
+    wanted = args or ["1", "1g", "1c", "2", "3", "3s", "3h", "3m", "4", "4m",
+                      "4b",
                       "4c", "5"]
     for c in wanted:
         fns[c]()

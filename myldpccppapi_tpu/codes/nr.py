@@ -360,8 +360,20 @@ def rate_match_llr(code: QCCode, llr_e: jax.Array, e: "int | None" = None,
     n_buf = code.n - p
     if n_cb is None:
         n_cb = n_buf
-    idx = (rv_start(code, rv, n_cb) + np.arange(e)) % n_cb
+    k0 = rv_start(code, rv, n_cb)
     buf = jnp.zeros(llr_e.shape[:-1] + (n_buf,), llr_e.dtype)
-    buf = buf.at[..., idx].add(llr_e)
+    if e <= n_cb:
+        # no repeated positions: pure placement via static slices (the
+        # general scatter-add below costs a real gather/scatter on TPU)
+        if k0 + e <= n_cb:
+            buf = buf.at[..., k0:k0 + e].set(llr_e)
+        else:
+            head = n_cb - k0
+            buf = buf.at[..., k0:n_cb].set(llr_e[..., :head])
+            buf = buf.at[..., : e - head].set(llr_e[..., head:])
+    else:
+        # wraps past a full buffer: repeated positions accumulate
+        idx = (k0 + np.arange(e)) % n_cb
+        buf = buf.at[..., idx].add(llr_e)
     front = jnp.zeros(llr_e.shape[:-1] + (p,), llr_e.dtype)
     return jnp.concatenate([front, buf], axis=-1)

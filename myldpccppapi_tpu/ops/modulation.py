@@ -70,6 +70,14 @@ class Modulation:
     name: str
     points: np.ndarray  # [M] complex64, mean |x|^2 == 1
     labels: np.ndarray  # [M, m] uint8 in {0, 1}
+    #: For separable (square Gray QAM) constellations: the per-axis PAM
+    #: alphabet as (levels [L] float32, labels [L, m/2] uint8), where bit
+    #: 2j+axis of the symbol is bit j of the component's PAM label (the
+    #: TS 38.211 even/odd I/Q split).  Lets the demapper work per
+    #: component — L instead of L^2 points — EXACTLY (the other axis's
+    #: distance terms cancel in both max-log and true LLRs).  None for
+    #: non-product constellations (PSK/APSK).
+    pam: "tuple | None" = None
 
     def __post_init__(self):
         pts = np.asarray(self.points, dtype=np.complex64)
@@ -140,7 +148,7 @@ def _nr_qam(m: int, name: str) -> Modulation:
 
     def pam(sign_bits):  # sign_bits: [P, half] = (s0, s2, ...) resp. odd bits
         # innermost nesting first: amp = 2 - s_last, then 4 - s*(prev), ...
-        amp = np.ones(len(ints))
+        amp = np.ones(sign_bits.shape[0])
         for j in range(half - 1, 0, -1):
             amp = (2.0 ** (half - j)) - sign_bits[:, j] * amp
         return sign_bits[:, 0] * amp
@@ -149,8 +157,13 @@ def _nr_qam(m: int, name: str) -> Modulation:
     q_amp = pam(s[:, 1::2])
     pts = (i_amp + 1j * q_amp).astype(np.complex64)
     es = np.mean(np.abs(pts) ** 2)
-    pts = (pts / np.sqrt(es)).astype(np.complex64)
-    return Modulation(name, pts, b)
+    scale = 1.0 / np.sqrt(es)
+    pts = (pts * scale).astype(np.complex64)
+    # per-axis PAM alphabet for the separable demapper
+    ints_h = np.arange(2**half)
+    bh = _bits_of(ints_h, half)
+    levels = (pam(1 - 2 * bh.astype(np.float64)) * scale).astype(np.float32)
+    return Modulation(name, pts, b, pam=(levels, bh))
 
 
 def qpsk() -> Modulation:
@@ -326,8 +339,6 @@ def demap_llr(y: jax.Array, n0, mod: Modulation, method: str = "maxlog") -> jax.
     Scans the M points carrying per-bit accumulators — no [., M] tensor.
     """
     m = mod.bits_per_symbol
-    pts = np.asarray(mod.points)
-    labels = mod.labels  # static numpy: the point loop unrolls at trace time
     inv_n0 = 1.0 / jnp.asarray(n0, dtype=jnp.float32)
 
     # The loop over constellation points is a PYTHON loop (static M <= 256):
@@ -335,29 +346,43 @@ def demap_llr(y: jax.Array, n0, mod: Modulation, method: str = "maxlog") -> jax.
     # elementwise pass over the symbols, keeping the per-bit accumulators in
     # registers.  A lax.scan here materializes the [.., m] carry pair to HBM
     # every step (measured ~30 ms extra per 16.6M-symbol dispatch at M=16).
-    def per_bit_accumulate(update, init):
-        acc0 = [init] * m
-        acc1 = [init] * m
-        for p_idx in range(len(pts)):
-            d = jnp.square(jnp.abs(y - pts[p_idx]))
-            for i in range(m):
-                if labels[p_idx, i]:
-                    acc1[i] = update(acc1[i], d)
-                else:
-                    acc0[i] = update(acc0[i], d)
-        return acc0, acc1
+    def per_bit_llrs(obs, pts, labels, nbits):
+        def accumulate(update, init):
+            acc0 = [init] * nbits
+            acc1 = [init] * nbits
+            for p_idx in range(len(pts)):
+                d = jnp.square(jnp.abs(obs - pts[p_idx]))
+                for i in range(nbits):
+                    if labels[p_idx, i]:
+                        acc1[i] = update(acc1[i], d)
+                    else:
+                        acc0[i] = update(acc0[i], d)
+            return acc0, acc1
 
-    if method == "maxlog":
-        m0, m1 = per_bit_accumulate(jnp.minimum, jnp.inf)
-        bit_llrs = [(b - a) * inv_n0 for a, b in zip(m0, m1)]
-    elif method == "exact":
-        # logsumexp of -d/n0 via running logaddexp (numerically stable)
-        def lse(acc, d):
-            return jnp.logaddexp(acc, -d * inv_n0)
+        if method == "maxlog":
+            m0, m1 = accumulate(jnp.minimum, jnp.inf)
+            return [(b - a) * inv_n0 for a, b in zip(m0, m1)]
+        if method == "exact":
+            # logsumexp of -d/n0 via running logaddexp (stable)
+            def lse(acc, d):
+                return jnp.logaddexp(acc, -d * inv_n0)
 
-        l0, l1 = per_bit_accumulate(lse, -jnp.inf)
-        bit_llrs = [a - b for a, b in zip(l0, l1)]
-    else:
+            l0, l1 = accumulate(lse, -jnp.inf)
+            return [a - b for a, b in zip(l0, l1)]
         raise ValueError(f"method must be 'maxlog' or 'exact', got {method!r}")
+
+    if mod.pam is not None:
+        # separable square QAM: demap I and Q against the L-level PAM
+        # alphabet instead of all L^2 points.  EXACT for both methods:
+        # |y-x|^2 = dI + dQ, and the unconstrained axis's min (max-log) /
+        # logsumexp (exact) is common to both bit hypotheses and cancels.
+        levels, plabs = mod.pam
+        axis_llrs = [
+            per_bit_llrs(comp, levels, plabs, plabs.shape[1])
+            for comp in (jnp.real(y), jnp.imag(y))
+        ]
+        bit_llrs = [axis_llrs[i % 2][i // 2] for i in range(m)]
+    else:
+        bit_llrs = per_bit_llrs(y, np.asarray(mod.points), mod.labels, m)
     llr = jnp.stack(bit_llrs, axis=-1)  # [..., S, m]
     return llr.reshape(y.shape[:-1] + (-1,))

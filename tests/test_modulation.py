@@ -184,3 +184,29 @@ def test_sim_step_rejects_llr_scale_with_mod():
     with pytest.raises(ValueError, match="llr_scale"):
         sim_step(code, cfg, jax.random.PRNGKey(0), 5.0, 8,
                  llr_scale=1.0, mod=make_modulation("qpsk"))
+
+
+@pytest.mark.parametrize("name", ["qpsk", "16qam", "64qam", "256qam"])
+@pytest.mark.parametrize("method", ["maxlog", "exact"])
+def test_separable_demap_equals_full(name, method, rng):
+    """Square Gray QAM demaps per-axis against the PAM alphabet (L levels
+    instead of L^2 points); the other axis's terms cancel, so this must
+    equal the generic full-constellation computation to float tolerance."""
+    import dataclasses
+
+    mod = make_modulation(name)
+    assert mod.pam is not None
+    full = dataclasses.replace(mod, pam=None)
+    y = jnp.asarray(
+        (rng.standard_normal(400) + 1j * rng.standard_normal(400)).astype(
+            np.complex64
+        )
+    )
+    a = np.asarray(demap_llr(y, 0.4, mod, method))
+    b = np.asarray(demap_llr(y, 0.4, full, method))
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-3)
+
+
+def test_psk_apsk_have_no_pam():
+    for name in ["bpsk", "8psk", "16apsk", "32apsk"]:
+        assert make_modulation(name).pam is None
