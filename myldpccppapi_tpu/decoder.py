@@ -92,7 +92,15 @@ class Decoder:
             from .ops import pallas_bp
 
             if not pallas_bp.supported(code):
-                impl = "jnp"
+                # auto never resolves here unsupported; an EXPLICIT request
+                # gets the same loud refusal as the other kernels instead
+                # of a silent jnp fallback mislabeled as the fused kernel
+                raise ValueError(
+                    "pallas (VMEM-resident short-code kernel) does not "
+                    "support this code: needs an unmasked QCCode small "
+                    "enough for 128-lane VMEM tiles; use implementation="
+                    '"auto" for dispatch'
+                )
         elif impl == "pallas_zlane":
             from .ops import pallas_zlane
 

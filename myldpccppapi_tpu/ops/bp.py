@@ -95,6 +95,10 @@ def _check_update_minsum(qs: jax.Array, alpha: float, beta: float) -> jax.Array:
     is_min = jax.lax.broadcasted_iota(jnp.int32, qs.shape, 0) == am[None]
     m2 = jnp.min(jnp.where(is_min, jnp.inf, a), axis=0)
     mag = jnp.where(is_min, m2[None], m1[None])
+    # weight-1 rows (single edge: excluding-self min over nothing) would
+    # give mag=inf and then inf-inf=NaN in the posterior update; clamp to
+    # the masked-row magnitude like bp_edgelist._check_update does
+    mag = jnp.minimum(mag, _Q_INF)
     if beta:
         mag = jnp.maximum(mag - beta, 0.0)
     if alpha != 1.0:

@@ -110,10 +110,17 @@ def _check_update(qr: jax.Array, cfg: DecoderConfig) -> jax.Array:
     else:  # sum-product, log domain
 
         def phi(x):
-            x = jnp.clip(x, 1e-7, 30.0)
+            # clamp constants shared with ops/bp.py so the two paths stay
+            # bit-identical in f32 (crc_accept's replay argument needs it)
+            from .bp import _PHI_MAX, _PHI_MIN
+
+            x = jnp.clip(x, _PHI_MIN, _PHI_MAX)
             ex = jnp.exp(-x)
             return jnp.log1p(ex) - jnp.log1p(-ex)
 
+        # phi in f32 even for bf16 messages (its precision drives the
+        # decoder threshold — same policy as ops/bp.py)
+        a = a.astype(jnp.float32)
         ph = phi(a)  # pad edges: phi(clip 30) ~ 0, the sum identity
         total = jnp.sum(ph, axis=1, keepdims=True)
         mag = phi(total - ph)
@@ -136,7 +143,8 @@ def decode_edgelist(idx: EdgeIndex, cfg: DecoderConfig, llr: jax.Array,
     AND CRC, and the result carries ``accepted``.
     """
     b = llr.shape[0]
-    chan = llr.astype(jnp.float32).T  # [n, B]
+    dt = jnp.bfloat16 if cfg.msg_dtype == "bfloat16" else jnp.float32
+    chan = llr.astype(dt).T  # [n, B]
     e = idx.num_edges
     edge_col = jnp.asarray(idx.edge_col)
     edge_col_pad = jnp.concatenate([edge_col, jnp.asarray([idx.n], jnp.int32)])
@@ -190,7 +198,7 @@ def decode_edgelist(idx: EdgeIndex, cfg: DecoderConfig, llr: jax.Array,
         return r, post
 
     soft = cfg.soft_output
-    post_out0 = chan if soft else jnp.zeros((1, 1), jnp.float32)
+    post_out0 = chan if soft else jnp.zeros((1, 1), dt)
 
     def body(carry):
         r, post, bits_out, post_out, done, iters, t = carry
@@ -225,7 +233,7 @@ def decode_edgelist(idx: EdgeIndex, cfg: DecoderConfig, llr: jax.Array,
         return c
 
     carry0 = (
-        jnp.zeros((e, b), jnp.float32),
+        jnp.zeros((e, b), dt),
         chan,
         jnp.zeros((idx.n, b), jnp.bool_),
         post_out0,

@@ -51,7 +51,9 @@ class DecoderConfig:
     triage_iters: int = 0
     #: Capacity of the straggler buffer as a fraction of the batch; if more
     #: frames fail the fast pass, the wrapper falls back to a full-batch
-    #: full-budget decode.
+    #: full-budget decode.  Also sizes the CRC/outer-aided retry buffer of
+    #: the fused-kernel acceptance wrapper (ops/crc_accept.py) — rejected
+    #: frames beyond it trigger the same full-batch fallback.
     triage_cap_frac: float = 0.125
     #: Message/posterior dtype: "float32" (exact) or "bfloat16" (halves the
     #: VMEM working set and bandwidth of the decode; ~0.05 dB BER cost
@@ -110,6 +112,14 @@ class DecoderConfig:
             raise ValueError(f"unknown implementation {self.implementation!r}")
         if self.msg_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown msg_dtype {self.msg_dtype!r}")
+        if self.algorithm == "sum-product" and (
+            self.normalization != 1.0 or self.offset != 0.0
+        ):
+            raise ValueError(
+                "normalization/offset are min-sum knobs; the sum-product "
+                "check update has no such correction (they would be "
+                "silently ignored)"
+            )
         if self.syndrome_mode not in ("exact", "lazy"):
             raise ValueError(f"unknown syndrome_mode {self.syndrome_mode!r}")
         if self.crc is not None:

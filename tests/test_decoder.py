@@ -204,3 +204,64 @@ class TestSoftOutput:
         np.testing.assert_array_equal(
             (post <= 0).astype(np.uint8), np.asarray(res.bits)
         )
+
+
+def test_explicit_pallas_rejected_on_unsupported_code():
+    """An EXPLICIT implementation="pallas" request on a code the kernel
+    cannot serve must raise (not silently run jnp mislabeled as fused)."""
+    from myldpccppapi_tpu.codes.dvbs2 import dvbs2
+    from myldpccppapi_tpu.decoder import Decoder
+    from myldpccppapi_tpu.utils.config import DecoderConfig
+
+    code = dvbs2(16200, "1/2")  # masked/multi-edge: pallas unsupported
+    with pytest.raises(ValueError, match="pallas"):
+        Decoder(code, DecoderConfig(implementation="pallas"))
+
+
+def test_sum_product_rejects_minsum_knobs():
+    from myldpccppapi_tpu.utils.config import DecoderConfig
+
+    with pytest.raises(ValueError, match="min-sum knobs"):
+        DecoderConfig(algorithm="sum-product", normalization=0.75)
+    with pytest.raises(ValueError, match="min-sum knobs"):
+        DecoderConfig(algorithm="sum-product", offset=0.1)
+
+
+def test_weight_one_row_does_not_nan():
+    """A base matrix with a degree-1 row (single-parity extension) must
+    decode without NaN: the excluding-self min over one edge is clamped,
+    not inf (inf - inf = NaN poisoned all messages before the clamp)."""
+    from myldpccppapi_tpu.codes.qc import QCCode
+    from myldpccppapi_tpu.ops.bp import decode_qc
+    from myldpccppapi_tpu.utils.config import DecoderConfig
+
+    base = np.array([
+        [1, 3, 0, -1],
+        [2, 0, -1, 0],
+        [-1, -1, 5, -1],   # weight-1 row
+    ], dtype=np.int32)
+    code = QCCode(name="w1row", base=base, z=8)
+    rng = np.random.default_rng(0)
+    llr = jnp.asarray(rng.normal(3.0, 1.0, (4, code.n)).astype(np.float32))
+    for schedule in ["layered", "flooding"]:
+        cfg = DecoderConfig(schedule=schedule, max_iters=8,
+                            implementation="jnp", soft_output=True)
+        res = decode_qc(code, cfg, llr)
+        assert np.isfinite(np.asarray(res.posteriors)).all()
+
+
+def test_edgelist_honors_bf16():
+    from myldpccppapi_tpu.codes.wimax import wimax
+    from myldpccppapi_tpu.decoder import Decoder
+    from myldpccppapi_tpu.utils.config import DecoderConfig
+
+    code = wimax(576, "1/2")
+    cfg = DecoderConfig(schedule="layered", normalization=0.75,
+                        implementation="edgelist", msg_dtype="bfloat16",
+                        soft_output=True)
+    dec = Decoder(code, cfg)
+    rng = np.random.default_rng(1)
+    llr = jnp.asarray(rng.normal(4.0, 1.0, (8, code.n)).astype(np.float32))
+    res = dec(llr)
+    assert res.posteriors.dtype == jnp.bfloat16
+    assert bool(jnp.all(res.converged))
