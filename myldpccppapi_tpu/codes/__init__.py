@@ -11,6 +11,13 @@ from .wimax import wimax
 from .wifi import wifi
 from .regular import regular
 from .nr import nr_code
+from .nr_transport import (
+    NRTransport,
+    TBFormat,
+    TBResult,
+    plan_tb,
+    select_base_graph,
+)
 from .dvbs2 import dvbs2, dvbs2_ira_qc, dvbs2_oracle, ira_encode_fn
 from .crc import crc_attach_fn, crc_check_fn, crc_matrix, crc_numpy
 from .bch import (
@@ -34,6 +41,11 @@ __all__ = [
     "dvbs2_oracle",
     "ira_encode_fn",
     "nr_code",
+    "NRTransport",
+    "plan_tb",
+    "select_base_graph",
+    "TBFormat",
+    "TBResult",
     "QCCode",
     "Encoder",
     "EncoderMatrices",

@@ -172,23 +172,28 @@ def _syndrome_fail(bits_blocks: jax.Array, layers) -> jax.Array:
     return jnp.any(jnp.stack(fails), axis=0)
 
 
-def crc_fail_fn(code, crc: str):
+def crc_fail_fn(code, crc: str, span: "int | None" = None):
     """[B, n]-bits -> bool[B] "CRC fails" check for CRC-aided acceptance.
 
-    The CRC field occupies the last L bits of the code's information block
+    The CRC field occupies the last L bits of the first ``span`` bits of
+    the code's information block — ``span`` defaults to the whole block
     (the TS 38.212 code-block layout: message || CRC is what the LDPC
-    encoder sees).  One int8 MXU matmul per call (codes/crc.py).
+    encoder sees); segmented transport blocks pass span = K' so the
+    known-zero filler bits after the CRC24B (§5.2.2) are excluded.  One
+    int8 MXU matmul per call (codes/crc.py).
     """
     from ..codes.crc import CRC_POLYS, crc_check_fn
 
     length = CRC_POLYS[crc][0]
     k_info = code.k_info
-    if k_info <= length:
+    if span is None:
+        span = k_info
+    if not (length < span <= k_info):
         raise ValueError(
-            f"CRC{crc} needs k_info > {length}, code has k_info={k_info}"
+            f"CRC{crc} span must be in ({length}, {k_info}], got {span}"
         )
-    pos = jnp.asarray(np.asarray(code.info_positions))
-    check = crc_check_fn(k_info - length, crc)
+    pos = jnp.asarray(np.asarray(code.info_positions)[:span])
+    check = crc_check_fn(span - length, crc)
 
     def fail(bits_flat: jax.Array) -> jax.Array:
         return ~check(bits_flat[:, pos].astype(jnp.int8))
@@ -229,7 +234,7 @@ def accept_fail_fn(code, cfg: DecoderConfig):
     [B, n]-bits -> bool[B] "rejected" (or None when neither is set)."""
     fails = []
     if cfg.crc:
-        fails.append(crc_fail_fn(code, cfg.crc))
+        fails.append(crc_fail_fn(code, cfg.crc, cfg.crc_span))
     if cfg.outer:
         fails.append(outer_fail_fn(code, cfg.outer))
     if not fails:

@@ -70,6 +70,14 @@ class DecoderConfig:
     #: errors (``DecodeResult.accepted``).  None = syndrome-only acceptance
     #: (the reference semantics).
     crc: Optional[str] = None
+    #: Number of leading information bits covered by message||CRC when
+    #: :attr:`crc` is set (TS 38.212 K'): the CRC field then occupies bits
+    #: [crc_span - L, crc_span) of the information block instead of its
+    #: tail.  Needed for segmented transport blocks whose code blocks carry
+    #: F = K - K' known-zero filler bits AFTER the CRC24B (§5.2.2).  None =
+    #: the CRC sits at the end of the information block (the unsegmented
+    #: layout).
+    crc_span: Optional[int] = None
     #: Outer-code-aided acceptance, same latch semantics as :attr:`crc`
     #: but for a GF(2)-linear outer code filling the tail of the
     #: information block: ``("bch", m, t)`` requires the EN 302 307 outer
@@ -129,6 +137,11 @@ class DecoderConfig:
                 raise ValueError(
                     f"unknown crc {self.crc!r}; choose from {sorted(CRC_POLYS)}"
                 )
+        if self.crc_span is not None:
+            if self.crc is None:
+                raise ValueError("crc_span requires crc to be set")
+            if self.crc_span <= 0:
+                raise ValueError(f"crc_span must be positive, got {self.crc_span}")
         if self.outer is not None:
             if (
                 len(self.outer) != 3
