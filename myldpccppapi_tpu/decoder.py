@@ -39,7 +39,14 @@ def _implementation(cfg: DecoderConfig, code) -> str:
         platform = "cpu"
     if platform == "tpu":
         from .ops import pallas_bp, pallas_stream, pallas_zlane
+        from .ops.bp import weights_mode
 
+        if weights_mode(cfg, code.m_b) == "iter":
+            # per-iteration (learned) weight schedules: jnp path — the
+            # fused kernels' in-kernel while_loop has no per-iteration
+            # weight indexing (per-LAYER schedules bake into their static
+            # layer unroll and stay on the kernels)
+            return "jnp"
         if pallas_bp.supported(code):
             return "pallas"
         # long codes (DVB-S2 n=64800, NR Z=384): z-on-lanes fused kernel

@@ -80,13 +80,17 @@ def _col_align(x: jax.Array, shift: int) -> jax.Array:
     return jnp.roll(x, shift, axis=0) if shift else x
 
 
-def _check_update_minsum(qs: jax.Array, alpha: float, beta: float) -> jax.Array:
+def _check_update_minsum(qs: jax.Array, alpha, beta) -> jax.Array:
     """Min-sum check-node update with self-exclusion over axis 0.
 
     Vectorization of the first/second-minimum trick the reference's fused
     kernel uses per-thread (``decodeCL.c:348-379``): the excluding-self min is
     m2 where this edge is the argmin, else m1; the excluding-self sign is the
     total sign parity XOR the edge's own sign.
+
+    ``alpha``/``beta`` may be Python floats (static, branches elided at
+    trace time) or traced scalars (learned per-iteration weights,
+    ops/learned.py).
     """
     a = jnp.abs(qs)
     neg = (qs < 0).astype(jnp.int32)
@@ -99,10 +103,13 @@ def _check_update_minsum(qs: jax.Array, alpha: float, beta: float) -> jax.Array:
     # give mag=inf and then inf-inf=NaN in the posterior update; clamp to
     # the masked-row magnitude like bp_edgelist._check_update does
     mag = jnp.minimum(mag, _Q_INF)
-    if beta:
-        mag = jnp.maximum(mag - beta, 0.0)
-    if alpha != 1.0:
-        mag = alpha * mag
+    if isinstance(alpha, (int, float)) and isinstance(beta, (int, float)):
+        if beta:
+            mag = jnp.maximum(mag - beta, 0.0)
+        if alpha != 1.0:
+            mag = alpha * mag
+    else:
+        mag = jnp.maximum(mag - beta, 0.0) * alpha
     sign_excl = (jnp.sum(neg, axis=0) & 1)[None] ^ neg
     return jnp.where(sign_excl == 1, -mag, mag).astype(qs.dtype)
 
@@ -252,10 +259,83 @@ def _crc_fail_blocks(code, cfg: DecoderConfig):
     return lambda bits_blocks: fail(_from_blocks(bits_blocks))
 
 
-def _select_check_update(cfg: DecoderConfig):
-    if cfg.algorithm == "min-sum":
-        return partial(_check_update_minsum, alpha=cfg.normalization, beta=cfg.offset)
-    return partial(_check_update_sumproduct, alpha=1.0, beta=0.0)
+def canon_weights(w, n_layers: int):
+    """Canonicalize a DecoderConfig.normalization/offset value.
+
+    Returns ``("scalar", x)``, ``("layer", (x_0..x_{L-1}))`` for a flat
+    tuple (one static weight per base row), or ``("iter", ((x_00..),..))``
+    for a nested tuple (outer = iteration, inner = per-layer; an inner
+    scalar or length-1 tuple broadcasts over layers).  Learned weights from
+    ops/learned.py arrive here via ``LearnedWeights.config_values()``.
+    """
+    if isinstance(w, (int, float)):
+        return ("scalar", float(w))
+    if all(isinstance(x, (int, float)) for x in w):
+        if len(w) != n_layers:
+            raise ValueError(
+                f"per-layer weights need one value per base row "
+                f"({n_layers}), got {len(w)}"
+            )
+        return ("layer", tuple(float(x) for x in w))
+    rows = []
+    for row in w:
+        if isinstance(row, (int, float)):
+            rows.append((float(row),) * n_layers)
+        elif len(row) == 1:
+            rows.append((float(row[0]),) * n_layers)
+        elif len(row) == n_layers:
+            rows.append(tuple(float(x) for x in row))
+        else:
+            raise ValueError(
+                f"per-iteration weight rows must have 1 or {n_layers} "
+                f"entries, got {len(row)}"
+            )
+    return ("iter", tuple(rows))
+
+
+def weights_mode(cfg: DecoderConfig, n_layers: int) -> str:
+    """Granularity of the config's min-sum weight schedule: "scalar",
+    "layer" (static per-base-row), or "iter" (per-iteration x per-layer).
+    Drives implementation dispatch: fused kernels serve scalar/layer, the
+    jnp path serves everything."""
+    order = {"scalar": 0, "layer": 1, "iter": 2}
+    am, _ = canon_weights(cfg.normalization, n_layers)
+    bm, _ = canon_weights(cfg.offset, n_layers)
+    return am if order[am] >= order[bm] else bm
+
+
+def _select_check_update(cfg: DecoderConfig, n_layers: int):
+    """Check-update callable ``fn(qs, layer_idx, t)`` honoring scalar,
+    per-layer, or per-iteration x per-layer (learned) min-sum weights.
+    ``t`` is the traced iteration counter; iterations beyond the weight
+    schedule reuse its last row."""
+    if cfg.algorithm != "min-sum":
+        return lambda qs, li, t: _check_update_sumproduct(qs, 1.0, 0.0)
+    am, av = canon_weights(cfg.normalization, n_layers)
+    bm, bv = canon_weights(cfg.offset, n_layers)
+    if am == "scalar" and bm == "scalar":
+        return lambda qs, li, t: _check_update_minsum(qs, av, bv)
+    if am != "iter" and bm != "iter":
+        a_l = av if am == "layer" else (av,) * n_layers
+        b_l = bv if bm == "layer" else (bv,) * n_layers
+        return lambda qs, li, t: _check_update_minsum(qs, a_l[li], b_l[li])
+
+    def to_mat(mode, v):
+        if mode == "scalar":
+            return np.full((1, n_layers), v, np.float32)
+        if mode == "layer":
+            return np.asarray(v, np.float32)[None, :]
+        return np.asarray(v, np.float32)
+
+    a_mat = jnp.asarray(to_mat(am, av))
+    b_mat = jnp.asarray(to_mat(bm, bv))
+
+    def fn(qs, li, t):
+        ta = jnp.minimum(t, a_mat.shape[0] - 1)
+        tb = jnp.minimum(t, b_mat.shape[0] - 1)
+        return _check_update_minsum(qs, a_mat[ta, li], b_mat[tb, li])
+
+    return fn
 
 
 # ---------------------------------------------------------------------------
@@ -268,7 +348,7 @@ def decode_flooding(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeR
     bsz = llr.shape[0]
     dtype = llr.dtype
     layers = _layers(code)
-    check_update = _select_check_update(cfg)
+    check_update = _select_check_update(cfg, code.m_b)
     crc_fail = _crc_fail_blocks(code, cfg)
 
     chan = _to_blocks(llr, n_b, z)  # [n_b, z, B]
@@ -297,7 +377,11 @@ def decode_flooding(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeR
         q, bits_out, post_out, done, iters, t = carry
         # check-node update, layer by layer (each a contiguous static slice)
         r = jnp.concatenate(
-            [check_update(q[p0:p1]) for ((p0, p1), _) in layers], axis=0
+            [
+                check_update(q[p0:p1], li, t)
+                for li, ((p0, p1), _) in enumerate(layers)
+            ],
+            axis=0,
         )
         # posterior: channel + column-aligned scatter of R (masked rows of a
         # partial circulant contribute nothing)
@@ -381,7 +465,7 @@ def decode_layered(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeRe
     n_b, z = code.n_b, code.z
     bsz = llr.shape[0]
     layers = _layers(code)
-    check_update = _select_check_update(cfg)
+    check_update = _select_check_update(cfg, code.m_b)
     crc_fail = _crc_fail_blocks(code, cfg)
 
     chan = _to_blocks(llr, n_b, z)
@@ -394,14 +478,14 @@ def decode_layered(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeRe
 
     def body(carry):
         r, post, bits_out, post_out, done, iters, t = carry
-        for ((p0, p1), entries) in layers:
+        for li, ((p0, p1), entries) in enumerate(layers):
             qs = []
             for (e, j, s, mask) in entries:
                 q = _row_align(post[j], s) - r[e]
                 if mask is not None:
                     q = jnp.where(_mask_col(mask), q, _Q_INF)
                 qs.append(q)
-            r_new = check_update(jnp.stack(qs))
+            r_new = check_update(jnp.stack(qs), li, t)
             # delta-accumulate writeback: post[j] += col_align(r_new - r_old).
             # Equivalent to col_align(q + r_new) for single-edge blocks but
             # also correct when one base block holds several circulants or a

@@ -132,6 +132,10 @@ def decode_edgelist(idx: EdgeIndex, cfg: DecoderConfig, llr: jax.Array,
                     crc_fail=None) -> DecodeResult:
     """Decode [B, n] LLRs for an arbitrary H given by its EdgeIndex.
 
+    Min-sum weights must be scalars here: the padded-row layout has no
+    per-base-layer structure to index a weight schedule by (QC codes with
+    learned weights use the circulant paths, ops/bp.py).
+
     schedule="flooding": classic full sweep.  schedule="layered": row groups
     given by ``idx.row_layer`` are processed sequentially with the posterior
     refreshed between groups (grouped TDMP; concurrent column updates within
@@ -142,6 +146,12 @@ def decode_edgelist(idx: EdgeIndex, cfg: DecoderConfig, llr: jax.Array,
     it from ``cfg.crc``.  When given, the early-exit latch requires syndrome
     AND CRC, and the result carries ``accepted``.
     """
+    if not isinstance(cfg.normalization, (int, float)) or not isinstance(
+        cfg.offset, (int, float)
+    ):
+        raise NotImplementedError(
+            "edge-list decoding supports scalar min-sum weights only"
+        )
     b = llr.shape[0]
     dt = jnp.bfloat16 if cfg.msg_dtype == "bfloat16" else jnp.float32
     chan = llr.astype(dt).T  # [n, B]

@@ -101,14 +101,38 @@ def supported(code: QCCode | None) -> bool:
     return choose_batch_tile(code) >= _LANES
 
 
-def _check_update_rows(qs, cfg: DecoderConfig):
+def _layer_weights(cfg: DecoderConfig, n_layers: int):
+    """Static per-layer (alpha, beta) float pairs from the config's weight
+    schedule, or None for scalar configs (the common case — the kernels
+    then keep their branch-elided scalar path).  Per-iteration schedules
+    are a jnp-path feature; the fused kernels refuse them loudly."""
+    from .bp import canon_weights
+
+    am, av = canon_weights(cfg.normalization, n_layers)
+    bm, bv = canon_weights(cfg.offset, n_layers)
+    if am == "iter" or bm == "iter":
+        raise NotImplementedError(
+            "per-iteration min-sum weights are served by the jnp path "
+            '(implementation="auto" dispatches there)'
+        )
+    if am == "scalar" and bm == "scalar":
+        return None
+    a_l = av if am == "layer" else (av,) * n_layers
+    b_l = bv if bm == "layer" else (bv,) * n_layers
+    return list(zip(a_l, b_l))
+
+
+def _check_update_rows(qs, cfg: DecoderConfig, w=None):
     """Per-layer check-node update on a list of row-aligned [z, Bt] tiles.
 
     Min-sum: the first/second-minimum exclusion trick, vectorized over the
     tile (reference per-thread scalar version: ``decodeCL.c:348-379``).
     Sum-product: self-inverse phi transform in the log domain.
+    ``w`` overrides (normalization, offset) with one static per-layer pair
+    (learned/per-layer weight schedules; see :func:`_layer_weights`).
     Returns the list of new check-to-variable messages.
     """
+    alpha, beta = (cfg.normalization, cfg.offset) if w is None else w
     dt = qs[0].dtype
     if cfg.algorithm == "min-sum":
         # compute in f32 even for bf16 storage: Mosaic's i1 layouts from
@@ -134,12 +158,12 @@ def _check_update_rows(qs, cfg: DecoderConfig):
         # VPU op per edge on rows of any degree; the exclusion compare must
         # use the RAW m1
         m1_raw = m1
-        if cfg.offset:
-            m1 = jnp.maximum(m1 - cfg.offset, 0.0)
-            m2 = jnp.maximum(m2 - cfg.offset, 0.0)
-        if cfg.normalization != 1.0:
-            m1 = cfg.normalization * m1
-            m2 = cfg.normalization * m2
+        if beta:
+            m1 = jnp.maximum(m1 - beta, 0.0)
+            m2 = jnp.maximum(m2 - beta, 0.0)
+        if alpha != 1.0:
+            m1 = alpha * m1
+            m2 = alpha * m2
         out = []
         for s, a in zip(sgns, absq):
             mag = jnp.where(a == m1_raw, m2, m1)
@@ -192,6 +216,7 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int):
         layers.append([(e, int(bc[e]), int(sh[e])) for e in range(p0, p1)])
 
     layered = cfg.schedule == "layered"
+    lw = _layer_weights(cfg, code.m_b)
 
     def kernel(chan_ref, bits_ref, conv_ref, iters_ref, texec_ref, p_scr, r_scr, done_scr):
         # load channel LLRs; posterior starts at the channel value.
@@ -206,11 +231,11 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int):
         iters_ref[:] = jnp.zeros_like(iters_ref)
 
         def sweep_layered():
-            for entries in layers:
+            for li, entries in enumerate(layers):
                 qs = [
                     _row_align(p_scr[j], s) - r_scr[e] for (e, j, s) in entries
                 ]
-                rn = _check_update_rows(qs, cfg)
+                rn = _check_update_rows(qs, cfg, None if lw is None else lw[li])
                 # delta-accumulate writeback, bit-identical to ops/bp.py's
                 # layered sweep (and multi-edge-per-block safe)
                 for (r_new, (e, j, s)) in zip(rn, entries):
@@ -221,11 +246,13 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int):
             # q = p - r is the flooding variable->check message when p is the
             # previous posterior and r the previous check messages
             all_rn = []
-            for entries in layers:
+            for li, entries in enumerate(layers):
                 qs = [
                     _row_align(p_scr[j], s) - r_scr[e] for (e, j, s) in entries
                 ]
-                all_rn.append(_check_update_rows(qs, cfg))
+                all_rn.append(
+                    _check_update_rows(qs, cfg, None if lw is None else lw[li])
+                )
             # recompute posterior = channel + sum of col-aligned R
             for j in range(code.n_b):
                 p_scr[j] = chan_ref[j]
@@ -287,6 +314,11 @@ def _build_kernel_dyn(code: QCCode, cfg: DecoderConfig, bt: int):
     dmax = code.max_row_degree
     if cfg.schedule != "layered" or cfg.algorithm != "min-sum":
         raise NotImplementedError("dyn kernel supports layered min-sum")
+    if _layer_weights(cfg, code.m_b) is not None:
+        raise NotImplementedError(
+            "dyn kernel sweeps layers in a fori_loop: per-layer weight "
+            "schedules need the statically-unrolled kernels or the jnp path"
+        )
 
     def kernel(col_tab, shift_tab, chan_ref, bits_ref, conv_ref, iters_ref,
                texec_ref, p_scr, r_scr, done_scr):

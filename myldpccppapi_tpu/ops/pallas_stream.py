@@ -70,6 +70,12 @@ def stream_supported(code: QCCode, cfg: DecoderConfig) -> bool:
     refuses rather than silently decoding the wrong matrix."""
     if code.extra_blocks is not None or getattr(code, "masked_rows", None):
         return False
+    if not isinstance(cfg.normalization, (int, float)) or not isinstance(
+        cfg.offset, (int, float)
+    ):
+        # per-layer/per-iteration weight schedules: the streaming kernel
+        # sweeps layers in a fori_loop (no static unroll to bake them into)
+        return False
     return (
         cfg.schedule == "layered"
         and cfg.algorithm == "min-sum"

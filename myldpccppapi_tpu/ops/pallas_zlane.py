@@ -200,9 +200,12 @@ def _plan(code: QCCode):
 
 
 def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int, dtype):
+    from .pallas_bp import _layer_weights
+
     z, zp = code.z, _pad_z(code.z)
     n_b = code.n_b
     layers, align0 = _plan(code)
+    lw = _layer_weights(cfg, code.m_b)
     # syndrome plan: per layer, (j, roll from stored alignment, mask)
     syn_layers = [
         [(j, (s - align0[j]) % z, mask) for (j, group) in groups
@@ -256,7 +259,7 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int, dtype):
             # row-aligned posterior each edge reads anyway, folded per layer
             # (classic TDMP on-the-fly syndrome; zero extra rolls)
             pre_bad = jnp.zeros((bt, zp), jnp.int32)
-            for groups in layers:
+            for li, groups in enumerate(layers):
                 par = jnp.zeros((bt, zp), jnp.int32)
                 qs = []
                 xs = {}
@@ -277,7 +280,12 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int, dtype):
                 # round messages to the storage dtype BEFORE the delta so the
                 # accumulated posterior stays exactly consistent with the
                 # stored r (the jnp bf16 path rounds at the same point)
-                rn = [x.astype(dtype) for x in _check_update_rows(qs, cfg)]
+                rn = [
+                    x.astype(dtype)
+                    for x in _check_update_rows(
+                        qs, cfg, None if lw is None else lw[li]
+                    )
+                ]
                 idx = 0
                 for (j, group) in groups:
                     y = xs[j]

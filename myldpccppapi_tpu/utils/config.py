@@ -39,8 +39,14 @@ class DecoderConfig:
     algorithm: str = "min-sum"
     schedule: str = "layered"
     max_iters: int = 40
-    normalization: float = 1.0
-    offset: float = 0.0
+    #: min-sum correction weights.  Besides a scalar, each accepts a flat
+    #: tuple (one static weight per base row / layer — honored by the jnp
+    #: paths AND the fused Pallas kernels, whose layer unroll makes it
+    #: free) or a nested tuple (outer = iteration, inner = per-layer;
+    #: iterations beyond the schedule reuse the last row — jnp path only).
+    #: Train them with ops/learned.py (differentiable unrolled decoding).
+    normalization: "float | tuple" = 1.0
+    offset: "float | tuple" = 0.0
     early_exit: bool = True
     implementation: str = "auto"
     #: Two-phase straggler triage (ops/triage.py): when > 0, decode the full
@@ -109,6 +115,14 @@ class DecoderConfig:
     syndrome_mode: str = "exact"
 
     def __post_init__(self):
+        # coerce (possibly nested) weight lists/arrays to hashable tuples
+        for f in ("normalization", "offset"):
+            w = getattr(self, f)
+            if not isinstance(w, (int, float)):
+                w = tuple(
+                    x if isinstance(x, (int, float)) else tuple(x) for x in w
+                )
+                object.__setattr__(self, f, w)
         if self.algorithm not in ("min-sum", "sum-product"):
             raise ValueError(f"unknown algorithm {self.algorithm!r}")
         if self.schedule not in ("flooding", "layered"):
