@@ -19,6 +19,7 @@ from .nr_transport import (
     select_base_graph,
 )
 from .dvbs2 import dvbs2, dvbs2_ira_qc, dvbs2_oracle, ira_encode_fn
+from .rs_ldpc import RSLDPCCode, rs_ldpc
 from .crc import crc_attach_fn, crc_check_fn, crc_matrix, crc_numpy
 from .bch import (
     bch_attach_fn,
@@ -53,6 +54,8 @@ __all__ = [
     "generic_precompute",
     "ru_precompute",
     "regular",
+    "rs_ldpc",
+    "RSLDPCCode",
     "wimax",
     "wifi",
 ]

@@ -54,15 +54,20 @@ def make_unrolled(code: QCCode, n_iters: int, schedule: str = "layered"):
 
     Returns ``run(params, llr) -> posteriors[T, B, n]`` where params is a
     dict with ``alpha``/``beta`` of shape [T, n_layers] (traced — the whole
-    thing is differentiable in them).  No early exit, no latching: every
-    iteration's posterior is an output (multiloss training).  The sweep
-    math is exactly ops/bp.py's (same helpers), minus the while_loop.
+    thing is differentiable in them; a first dim of 1 ties the weights
+    across iterations, the kernel-servable per-layer form).  No early
+    exit, no latching: every iteration's posterior is an output (multiloss
+    training).  The sweep math is exactly ops/bp.py's (same helpers),
+    minus the while_loop.
     """
     layers = _layers(code)
     n_b, z = code.n_b, code.z
 
     def run(params, llr: jax.Array) -> jax.Array:
-        alpha, beta = params["alpha"], params["beta"]
+        a_rows = params["alpha"].shape[0]
+        b_rows = params["beta"].shape[0]
+        alpha = lambda t, li: params["alpha"][min(t, a_rows - 1), li]
+        beta = lambda t, li: params["beta"][min(t, b_rows - 1), li]
         chan = _to_blocks(llr, n_b, z)
         post = chan
         r = [jnp.zeros_like(chan[0])] * code.num_blocks
@@ -77,7 +82,7 @@ def make_unrolled(code: QCCode, n_iters: int, schedule: str = "layered"):
                             q = jnp.where(_mask_col(mask), q, _Q_INF)
                         qs.append(q)
                     rn = _check_update_minsum(
-                        jnp.stack(qs), alpha[t, li], beta[t, li]
+                        jnp.stack(qs), alpha(t, li), beta(t, li)
                     )
                     for idx, (e, j, s, mask) in enumerate(entries):
                         delta = rn[idx] - r[e]
@@ -96,7 +101,7 @@ def make_unrolled(code: QCCode, n_iters: int, schedule: str = "layered"):
                         qs.append(q)
                     rn_all.append(
                         _check_update_minsum(
-                            jnp.stack(qs), alpha[t, li], beta[t, li]
+                            jnp.stack(qs), alpha(t, li), beta(t, li)
                         )
                     )
                 post = chan
@@ -176,6 +181,7 @@ def train_nms(
     init_beta: float = 0.0,
     encode_fn=None,
     log_every: int = 0,
+    tie_iters: bool = False,
 ) -> LearnedWeights:
     """Train per-iteration x per-layer min-sum weights for ``code``.
 
@@ -190,9 +196,13 @@ def train_nms(
 
     run = make_unrolled(code, n_iters, schedule)
     n_layers = code.m_b
+    # tie_iters trains ONE weight row shared by every iteration (the
+    # per-layer form the fused kernels serve); the unrolled decoder
+    # broadcasts a first dim of 1
+    rows = 1 if tie_iters else n_iters
     params = {
-        "alpha": jnp.full((n_iters, n_layers), init_alpha, jnp.float32),
-        "beta": jnp.full((n_iters, n_layers), init_beta, jnp.float32),
+        "alpha": jnp.full((rows, n_layers), init_alpha, jnp.float32),
+        "beta": jnp.full((rows, n_layers), init_beta, jnp.float32),
     }
     opt = optax.adam(lr)
     opt_state = opt.init(params)
