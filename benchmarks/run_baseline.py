@@ -674,6 +674,60 @@ def config4c():
     })
 
 
+def config4t(snr_db=3.0, batch=128):
+    """Full TS 38.212 TRANSPORT-BLOCK transceiver (codes/nr_transport.py):
+    A=20000 payload -> TB CRC24A, 3 code blocks with CRC24B + fillers
+    (K'=6699, Z=320), z-lane encode, circular-buffer rate matching with
+    filler skipping, Qm=2 interleaving, AWGN, then the batched receive
+    (deinterleave, de-rate-match, [B*3, n] fused-kernel decode with
+    in-loop CRC24B at span K', TB reassembly + CRC24A).  Throughput counts
+    PAYLOAD bits (the user-visible rate of the whole chain, encode
+    included)."""
+    import jax
+    import jax.numpy as jnp
+
+    from myldpccppapi_tpu.codes.nr_transport import NRTransport, plan_tb
+
+    fmt = plan_tb(20000, 40000, qm=2)
+    t = NRTransport(fmt)
+    sigma = 10.0 ** (-snr_db / 20.0)
+
+    @jax.jit
+    def one(key):
+        kp, kn = jax.random.split(key)
+        payload = jax.random.bernoulli(kp, 0.5, (batch, fmt.a)).astype(jnp.int8)
+        tx = t.encode(payload)
+        y = (1.0 - 2.0 * tx.astype(jnp.float32)) + sigma * jax.random.normal(
+            kn, tx.shape
+        )
+        res = t.receive(2.0 * y / (sigma * sigma))
+        perr = jnp.sum(jnp.any(res.payload != payload.astype(jnp.uint8),
+                               axis=-1))
+        return jnp.stack([
+            jnp.sum(res.tb_ok.astype(jnp.int32)), perr,
+            jnp.sum(res.iterations),
+            jnp.sum(res.cb_ok.astype(jnp.int32)),
+        ])
+
+    n_pipe = 16
+    make_input = lambda i: jax.random.PRNGKey(7000 + i)
+    dt, agg = _pipe_rounds(one, make_input, n_pipe)
+    dt_lo, n_lo = _depth_fit(one, make_input, n_pipe)
+    ok, perr, it, cb_ok = (int(x) for x in agg)
+    tbs = batch * n_pipe
+    _emit({
+        "config": "4t", "name": f"nr_tb_a20000_c3_qpsk_{snr_db}dB",
+        "throughput_mbits": round(tbs * fmt.a / dt / 1e6, 3),
+        "fit": _fit_record(dt, n_pipe, dt_lo, n_lo, batch * fmt.a),
+        "round_ms": round(dt * 1e3, 3),
+        "tbs_per_round": tbs, "cbs_per_tb": fmt.c, "z": fmt.z,
+        "tb_ok": ok, "payload_errors": perr,
+        "cb_ok": cb_ok,
+        "mean_cb_iters": round(it / (tbs * fmt.c), 2),
+        "impl": t.decoder.implementation,
+    })
+
+
 def config5():
     """Waterfall campaign: 8 SNR points x (NR + DVB-S2 short), batch-sharded
     over a (2 hosts x N/2 chips)-shaped mesh with psum'd frame stats."""
@@ -738,10 +792,10 @@ def main():
     fns = {"1": config1, "1g": config1g, "1c": config1c, "2": config2,
            "3": config3, "3s": config3s, "3h": config3h, "3m": config3m,
            "4": config4, "4m": config4m,
-           "4b": config4b, "4c": config4c, "5": config5}
+           "4b": config4b, "4c": config4c, "4t": config4t, "5": config5}
     wanted = args or ["1", "1g", "1c", "2", "3", "3s", "3h", "3m", "4", "4m",
                       "4b",
-                      "4c", "5"]
+                      "4c", "4t", "5"]
     for c in wanted:
         fns[c]()
 
