@@ -60,6 +60,14 @@ def _make_code(args):
         from .codes import dvbs2
 
         return dvbs2(args.n, args.rate)
+    if args.family == "rs_ldpc":
+        # 802.3an-class RS-based LDPC: n = 32 * 2^s (2048 = the standard's)
+        from .codes import rs_ldpc
+
+        q, s = args.n // 32, (args.n // 32).bit_length() - 1
+        if args.n != 32 * (1 << s):
+            raise SystemExit("rs_ldpc needs n = 32 * 2^s (e.g. 2048)")
+        return rs_ldpc(s=s)
     raise SystemExit(f"unknown family {args.family}")
 
 
@@ -278,7 +286,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     w = sub.add_parser("waterfall", help="BER/FER waterfall campaign")
     w.add_argument("--family", default="wimax",
-                   choices=["wimax", "wifi", "regular", "nr", "dvbs2"])
+                   choices=["wimax", "wifi", "regular", "nr", "dvbs2",
+                            "rs_ldpc"])
     w.add_argument("--n", type=int, default=576)
     w.add_argument("--rate", default="1/2")
     w.add_argument("--z", type=int, default=384, help="NR lifting size")

@@ -51,6 +51,7 @@ def make_codec(family: str, n: int | None = None, rate: str = "1/2", *,
     "regular"    array-construction (3,6), any ``n`` mult. 6     information-set
     "nr"         5G NR BG1/BG2 at lifting ``z``                  triangular back-subst.
     "dvbs2"      EN 302 307 IRA structure, n=64800/16200         accumulator prefix-XOR
+    "rs_ldpc"    802.3an-class RS-based, ``n`` = 32 * 2^s        information-set
     ==========  ==============================================  ===========
 
     The byte-stream semantics (chunking, LSB-first packing, size queries,
@@ -85,8 +86,18 @@ def make_codec(family: str, n: int | None = None, rate: str = "1/2", *,
         enc_np = lambda u: ira_encode_numpy(code, u)
         return Coder(code=code, max_iters=max_iters, crc=crc,
                      encoders=(enc_np, ira_encode_fn(code)))
+    if family == "rs_ldpc":
+        from .codes.rs_ldpc import rs_ldpc
+
+        n = n or 2048
+        q = n // 32
+        s = q.bit_length() - 1
+        if n != 32 * (1 << s):
+            raise ValueError("rs_ldpc needs n = 32 * 2^s (e.g. 2048)")
+        return Coder(code=rs_ldpc(s=s), max_iters=max_iters, crc=crc)
     raise ValueError(
-        f"unknown family {family!r}; choose from wimax, wifi, regular, nr, dvbs2"
+        f"unknown family {family!r}; choose from wimax, wifi, regular, nr, "
+        "dvbs2, rs_ldpc"
     )
 
 DECODE_TYPES = {

@@ -128,7 +128,9 @@ class Encoder:
     def __init__(self, code: QCCode, mats: EncoderMatrices | None = None):
         self.code = code
         if mats is None:
-            if code.info_cols is not None:
+            mats = getattr(code, "encoder_matrices", None)
+        if mats is None:
+            if getattr(code, "info_cols", None) is not None:
                 mats = generic_precompute(code.h_dense())
             else:
                 mats = ru_precompute(code)

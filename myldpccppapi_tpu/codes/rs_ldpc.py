@@ -63,11 +63,23 @@ def gf2m_tables(s: int, prim: Optional[int] = None):
 
 @dataclasses.dataclass(frozen=True, eq=False)  # identity hash: jit-static
 class RSLDPCCode:
-    """An RS-based LDPC code: gamma x rho array of q x q XOR-permutations."""
+    """An RS-based LDPC code: gamma x rho array of q x q XOR-permutations.
+
+    Exposes the same block protocol as :class:`~.qc.QCCode` (``blocks`` /
+    ``layer_ptr`` / ``z`` / ``m_b`` ...) with ``group = "xor"``: a block
+    "shift" c aligns tiles by the ADDITIVE permutation ``y[i] = x[i ^ c]``
+    instead of a cyclic roll, so the block-structured decoders (ops/bp.py
+    jnp path and the fused Pallas kernel's butterfly alignment) serve this
+    family at circulant-class speed — the edge-list path remains the
+    oracle.
+    """
 
     name: str
     s: int                      #: field power (q = 2^s)
     shifts: np.ndarray          #: [gamma, rho] additive shifts c_ij in GF(q)
+
+    #: block alignment group (QCCode's circulants are "cyclic")
+    group = "xor"
 
     @property
     def q(self) -> int:
@@ -88,6 +100,46 @@ class RSLDPCCode:
     @property
     def m(self) -> int:
         return self.gamma * self.q
+
+    # -- QCCode-compatible block protocol -----------------------------------
+    @property
+    def z(self) -> int:
+        return self.q
+
+    @property
+    def m_b(self) -> int:
+        return self.gamma
+
+    @property
+    def n_b(self) -> int:
+        return self.rho
+
+    @cached_property
+    def blocks(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(block_row, block_col, xor_shift) in row-major order."""
+        br = np.repeat(np.arange(self.gamma, dtype=np.int32), self.rho)
+        bc = np.tile(np.arange(self.rho, dtype=np.int32), self.gamma)
+        return br, bc, self.shifts.reshape(-1).astype(np.int32)
+
+    @cached_property
+    def block_row_masks(self) -> Tuple[None, ...]:
+        return tuple(None for _ in range(self.num_blocks))
+
+    @property
+    def num_blocks(self) -> int:
+        return self.gamma * self.rho
+
+    @property
+    def num_edges(self) -> int:
+        return self.num_blocks * self.q
+
+    @cached_property
+    def layer_ptr(self) -> np.ndarray:
+        return (np.arange(self.gamma + 1) * self.rho).astype(np.int32)
+
+    @property
+    def max_row_degree(self) -> int:
+        return self.rho
 
     def h_coo(self) -> Tuple[np.ndarray, np.ndarray]:
         """Edge list (rows, cols) of H in row-major order."""

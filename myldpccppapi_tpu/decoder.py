@@ -25,8 +25,25 @@ __all__ = ["Decoder", "DecodeResult"]
 def _implementation(cfg: DecoderConfig, code) -> str:
     if cfg.implementation != "auto":
         return cfg.implementation
-    if not isinstance(code, QCCode):
+    if not hasattr(code, "blocks"):
+        # no block structure (DVB-S2 oracle, random H): generic edge lists
         return "edgelist"
+    if getattr(code, "group", "cyclic") == "xor":
+        # RS-LDPC additive blocks: block-structured jnp path, or the fused
+        # kernel's butterfly alignment on TPU (z-lane/stream are circulant-
+        # only)
+        if cfg.soft_output:
+            return "jnp"
+        try:
+            platform = jax.devices()[0].platform
+        except RuntimeError:
+            platform = "cpu"
+        if platform == "tpu":
+            from .ops import pallas_bp
+
+            if pallas_bp.supported(code):
+                return "pallas"
+        return "jnp"
     if cfg.soft_output:
         # posterior-LLR output lives on the jnp path (the fused kernels
         # keep their VMEM budget for decode state)
@@ -164,7 +181,7 @@ class Decoder:
                     rows, cols = self.code.h_coo()
                     layer = (
                         np.arange(self.code.m, dtype=np.int32) // self.code.z
-                        if isinstance(self.code, QCCode)
+                        if hasattr(self.code, "z")
                         else None
                     )
                     idx = build_edge_index(rows, cols, self.code.n,

@@ -80,6 +80,25 @@ def _col_align(x: jax.Array, shift: int) -> jax.Array:
     return jnp.roll(x, shift, axis=0) if shift else x
 
 
+def _aligners(code):
+    """(row_align, col_align) for the code's block group.
+
+    QC circulants ("cyclic", the default) align by compile-time rolls.
+    RS-LDPC additive blocks (``code.group == "xor"``, codes/rs_ldpc.py)
+    align by the permutation ``y[i] = x[i ^ c]`` — self-inverse, so row
+    and column alignment coincide; lowered as one static gather here and
+    as a log2(z)-stage butterfly in the Pallas kernels.
+    """
+    if getattr(code, "group", "cyclic") != "xor":
+        return _row_align, _col_align
+    z = code.z
+
+    def xor_align(x: jax.Array, c: int) -> jax.Array:
+        return x[np.arange(z) ^ c] if c else x
+
+    return xor_align, xor_align
+
+
 def _check_update_minsum(qs: jax.Array, alpha, beta) -> jax.Array:
     """Min-sum check-node update with self-exclusion over axis 0.
 
@@ -165,13 +184,14 @@ def _mask_col(mask) -> jax.Array:
     return jnp.asarray(mask[:, None])
 
 
-def _syndrome_fail(bits_blocks: jax.Array, layers) -> jax.Array:
+def _syndrome_fail(bits_blocks: jax.Array, layers,
+                   row_align=_row_align) -> jax.Array:
     """[n_b, z, B] hard bits (bool) -> [B] bool, True where any check fails."""
     fails = []
     for (_, entries) in layers:
         par = None
         for (_, j, s, mask) in entries:
-            contrib = _row_align(bits_blocks[j], s).astype(jnp.int32)
+            contrib = row_align(bits_blocks[j], s).astype(jnp.int32)
             if mask is not None:
                 contrib = jnp.where(_mask_col(mask), contrib, 0)
             par = contrib if par is None else par + contrib
@@ -350,6 +370,7 @@ def decode_flooding(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeR
     layers = _layers(code)
     check_update = _select_check_update(cfg, code.m_b)
     crc_fail = _crc_fail_blocks(code, cfg)
+    row_align, col_align = _aligners(code)
 
     chan = _to_blocks(llr, n_b, z)  # [n_b, z, B]
 
@@ -359,7 +380,7 @@ def decode_flooding(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeR
     # initial variable->check messages: channel LLR gathered per edge
     q0 = jnp.stack(
         [
-            masked_q(_row_align(chan[j], s), mask)
+            masked_q(row_align(chan[j], s), mask)
             for (_, entries) in layers
             for (_, j, s, mask) in entries
         ]
@@ -391,7 +412,7 @@ def decode_flooding(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeR
                 contrib = r[e]
                 if mask is not None:
                     contrib = jnp.where(_mask_col(mask), contrib, 0.0)
-                post = post.at[j].add(_col_align(contrib, s))
+                post = post.at[j].add(col_align(contrib, s))
         bits = post <= 0  # reference: bit = !(posterior > 0)
         # next Q and row-aligned bits share the same rolled posterior
         q_next = []
@@ -400,7 +421,7 @@ def decode_flooding(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeR
             par = None
             qs_layer = []
             for (e, j, s, mask) in entries:
-                post_ra = _row_align(post[j], s)
+                post_ra = row_align(post[j], s)
                 if mask is None:
                     qs_layer.append(post_ra - r[e])
                     contrib = (post_ra <= 0).astype(jnp.int32)
@@ -443,7 +464,7 @@ def decode_flooding(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeR
         # done latched on syndrome AND CRC; report syndrome validity of the
         # final bits separately so the detected-wrong-codeword split is
         # observable (converged & ~accepted = CRC caught a wrong codeword)
-        conv, accepted = ~_syndrome_fail(bits_out, layers), done
+        conv, accepted = ~_syndrome_fail(bits_out, layers, row_align), done
     return DecodeResult(
         bits=_from_blocks(bits_out).astype(jnp.uint8),
         converged=conv,
@@ -467,6 +488,7 @@ def decode_layered(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeRe
     layers = _layers(code)
     check_update = _select_check_update(cfg, code.m_b)
     crc_fail = _crc_fail_blocks(code, cfg)
+    row_align, col_align = _aligners(code)
 
     chan = _to_blocks(llr, n_b, z)
     r0 = jnp.zeros((code.num_blocks, z, bsz), dtype=llr.dtype)
@@ -481,7 +503,7 @@ def decode_layered(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeRe
         for li, ((p0, p1), entries) in enumerate(layers):
             qs = []
             for (e, j, s, mask) in entries:
-                q = _row_align(post[j], s) - r[e]
+                q = row_align(post[j], s) - r[e]
                 if mask is not None:
                     q = jnp.where(_mask_col(mask), q, _Q_INF)
                 qs.append(q)
@@ -496,10 +518,10 @@ def decode_layered(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeRe
                 delta = r_new[idx] - r[e]
                 if mask is not None:
                     delta = jnp.where(_mask_col(mask), delta, 0.0)
-                post = post.at[j].add(_col_align(delta, s))
+                post = post.at[j].add(col_align(delta, s))
             r = jax.lax.dynamic_update_slice_in_dim(r, r_new, p0, axis=0)
         bits = post <= 0
-        fail = _syndrome_fail(bits, layers)
+        fail = _syndrome_fail(bits, layers, row_align)
         keep = done[None, None, :]
         bits_out = jnp.where(keep, bits_out, bits)
         if soft:
@@ -524,7 +546,7 @@ def decode_layered(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeRe
     if crc_fail is None:
         conv, accepted = done, None
     else:
-        conv, accepted = ~_syndrome_fail(bits_out, layers), done
+        conv, accepted = ~_syndrome_fail(bits_out, layers, row_align), done
     return DecodeResult(
         bits=_from_blocks(bits_out).astype(jnp.uint8),
         converged=conv,

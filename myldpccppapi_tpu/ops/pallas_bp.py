@@ -59,10 +59,43 @@ def _col_align(x: jax.Array, shift: int) -> jax.Array:
     return _row_align(x, z - (shift % z))
 
 
+def _xor_align(x: jax.Array, c: int) -> jax.Array:
+    """``y[i] = x[i ^ c]`` on the sublane axis via a butterfly of static
+    half-shifts + selects (RS-LDPC additive blocks, codes/rs_ldpc.py).
+
+    Per set bit k of ``c``: rows with bit k clear read i + 2^k, rows with
+    it set read i - 2^k — both are STATIC sublane shifts (no wrap is ever
+    read across a 2^(k+1) boundary), so the whole alignment stays in the
+    Mosaic-friendly static-slice world; stages for different bits commute.
+    popcount(c) stages of ~3 vector ops each vs 1 for a circulant roll.
+    """
+    if c == 0:
+        return x
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    k = 0
+    while (1 << k) <= c:
+        if (c >> k) & 1:
+            step = 1 << k
+            up = jnp.concatenate([x[step:], x[:step]], axis=0)
+            down = jnp.concatenate([x[-step:], x[:-step]], axis=0)
+            x = jnp.where((iota & step) != 0, down, up)
+        k += 1
+    return x
+
+
+def _aligners_tile(code):
+    """(row_align, col_align) closures for the code's block group —
+    circulant rolls (cyclic) or the self-inverse XOR butterfly."""
+    if getattr(code, "group", "cyclic") != "xor":
+        return _row_align, _col_align
+    return _xor_align, _xor_align
+
+
 def _msg_elems(code: QCCode) -> int:
     """Per-lane message elements, accounting for the dyn kernel's padded
     [m_b, dmax] slot layout on large base graphs."""
-    if code.num_blocks > _DYN_BLOCK_THRESHOLD:
+    if (getattr(code, "group", "cyclic") == "cyclic"
+            and code.num_blocks > _DYN_BLOCK_THRESHOLD):
         return code.m_b * code.max_row_degree * code.z
     return code.num_edges
 
@@ -92,6 +125,11 @@ def supported(code: QCCode | None) -> bool:
     # [z, lanes] kernels here never see such codes (they exceed VMEM anyway)
     if getattr(code, "masked_rows", None):
         return False
+    if getattr(code, "group", "cyclic") == "xor":
+        # RS-LDPC additive blocks: static butterfly alignment only (no dyn
+        # fallback); cap the unroll at a compile-friendly block count
+        return (code.num_blocks <= 256
+                and choose_batch_tile(code) >= _LANES)
     # table-driven (dyn) kernels compile pathologically slowly through the
     # Mosaic pipeline on hardware (many dynamic rolls in deep loops); keep
     # them out of auto dispatch until the compile cost is fixed — explicit
@@ -191,13 +229,13 @@ def _check_update_rows(qs, cfg: DecoderConfig, w=None):
     return out
 
 
-def _syndrome_fail_tile(p_read, layers):
+def _syndrome_fail_tile(p_read, layers, row_align=_row_align):
     """[1, bt] float mask (1.0 = some check fails) from posterior reader."""
     fail = None
     for entries in layers:
         par = None
         for (_, j, s) in entries:
-            p = _row_align(p_read(j), s).astype(jnp.float32)  # f32 compares
+            p = row_align(p_read(j), s).astype(jnp.float32)  # f32 compares
             bit = (p <= 0.0).astype(jnp.int32)
             par = bit if par is None else par + bit
         f = jnp.max((par & 1).astype(jnp.float32), axis=0, keepdims=True)
@@ -217,6 +255,7 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int):
 
     layered = cfg.schedule == "layered"
     lw = _layer_weights(cfg, code.m_b)
+    row_align, col_align = _aligners_tile(code)
 
     def kernel(chan_ref, bits_ref, conv_ref, iters_ref, texec_ref, p_scr, r_scr, done_scr):
         # load channel LLRs; posterior starts at the channel value.
@@ -233,13 +272,13 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int):
         def sweep_layered():
             for li, entries in enumerate(layers):
                 qs = [
-                    _row_align(p_scr[j], s) - r_scr[e] for (e, j, s) in entries
+                    row_align(p_scr[j], s) - r_scr[e] for (e, j, s) in entries
                 ]
                 rn = _check_update_rows(qs, cfg, None if lw is None else lw[li])
                 # delta-accumulate writeback, bit-identical to ops/bp.py's
                 # layered sweep (and multi-edge-per-block safe)
                 for (r_new, (e, j, s)) in zip(rn, entries):
-                    p_scr[j] = p_scr[j] + _col_align(r_new - r_scr[e], s)
+                    p_scr[j] = p_scr[j] + col_align(r_new - r_scr[e], s)
                     r_scr[e] = r_new
 
         def sweep_flooding():
@@ -248,7 +287,7 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int):
             all_rn = []
             for li, entries in enumerate(layers):
                 qs = [
-                    _row_align(p_scr[j], s) - r_scr[e] for (e, j, s) in entries
+                    row_align(p_scr[j], s) - r_scr[e] for (e, j, s) in entries
                 ]
                 all_rn.append(
                     _check_update_rows(qs, cfg, None if lw is None else lw[li])
@@ -258,7 +297,7 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int):
                 p_scr[j] = chan_ref[j]
             for entries, rn in zip(layers, all_rn):
                 for (r_new, (e, j, s)) in zip(rn, entries):
-                    p_scr[j] = p_scr[j] + _col_align(r_new, s)
+                    p_scr[j] = p_scr[j] + col_align(r_new, s)
                     r_scr[e] = r_new
 
         def body(carry):
@@ -267,7 +306,8 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int):
                 sweep_layered()
             else:
                 sweep_flooding()
-            fail = _syndrome_fail_tile(lambda j: p_scr[j], layers)  # [1, bt]
+            fail = _syndrome_fail_tile(lambda j: p_scr[j], layers,
+                                       row_align)  # [1, bt]
             done = done_scr[:]
             # latch outputs of codewords that were already done; integer
             # multiply-add masking instead of boolean selects (Mosaic's i1
@@ -417,7 +457,8 @@ def decode_qc_pallas(code: QCCode, cfg: DecoderConfig, llr: jax.Array, interpret
     b = llr.shape[0]
     dtype = jnp.bfloat16 if cfg.msg_dtype == "bfloat16" else jnp.float32
     use_dyn = (
-        code.num_blocks > _DYN_BLOCK_THRESHOLD
+        getattr(code, "group", "cyclic") == "cyclic"
+        and code.num_blocks > _DYN_BLOCK_THRESHOLD
         and cfg.schedule == "layered"
         and cfg.algorithm == "min-sum"
     )

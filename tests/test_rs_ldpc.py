@@ -64,7 +64,7 @@ def test_encode_decode_roundtrip_noiseless():
     cw = encode_numpy(code.encoder_matrices, u)
     assert not code.syndrome(cw).any()
     dec = Decoder(code, DecoderConfig(schedule="flooding"))
-    assert dec.implementation == "edgelist"
+    assert dec.implementation == "jnp"  # block-structured XOR-align path
     llr = jnp.asarray((1.0 - 2.0 * cw) * 8.0, jnp.float32)
     res = dec(llr)
     assert np.asarray(res.converged).all()
@@ -85,6 +85,72 @@ def test_decode_awgn():
     conv = np.asarray(res.converged)
     assert conv.mean() > 0.9
     np.testing.assert_array_equal(got[conv], u[conv])
+
+
+@pytest.mark.parametrize("schedule", ["flooding", "layered"])
+def test_jnp_xor_path_matches_edgelist(schedule):
+    code = _small()
+    enc = Encoder(code, code.encoder_matrices)
+    rng = np.random.default_rng(2)
+    u = rng.integers(0, 2, size=(24, code.k_info), dtype=np.uint8)
+    cw = encode_numpy(code.encoder_matrices, u)
+    llr, _ = transmit(jax.random.PRNGKey(3), jnp.asarray(cw), snr_db=4.5)
+    cfg = DecoderConfig(schedule=schedule, normalization=0.75)
+    ref = Decoder(code, cfg, implementation="edgelist")(llr)
+    res = Decoder(code, cfg, implementation="jnp")(llr)
+    conv_r, conv_j = np.asarray(ref.converged), np.asarray(res.converged)
+    np.testing.assert_array_equal(conv_r, conv_j)
+    both = conv_r & conv_j
+    np.testing.assert_array_equal(
+        np.asarray(ref.bits)[both], np.asarray(res.bits)[both]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.iterations), np.asarray(res.iterations)
+    )
+
+
+@pytest.mark.parametrize("schedule", ["layered", "flooding"])
+def test_pallas_xor_butterfly_matches_jnp(schedule):
+    from myldpccppapi_tpu.ops.bp import decode_qc
+    from myldpccppapi_tpu.ops.pallas_bp import decode_qc_pallas, supported
+
+    code = _small()
+    assert supported(code)
+    enc = Encoder(code, code.encoder_matrices)
+    rng = np.random.default_rng(3)
+    u = rng.integers(0, 2, size=(8, code.k_info), dtype=np.uint8)
+    cw = encode_numpy(code.encoder_matrices, u)
+    llr, _ = transmit(jax.random.PRNGKey(4), jnp.asarray(cw), snr_db=4.5)
+    cfg = DecoderConfig(schedule=schedule, normalization=0.75)
+    ref = decode_qc(code, cfg, llr)
+    res = decode_qc_pallas(code, cfg, llr, True)  # interpret mode
+    assert (np.asarray(res.bits) == np.asarray(ref.bits)).all()
+    assert (np.asarray(res.iterations) == np.asarray(ref.iterations)).all()
+    assert (np.asarray(res.converged) == np.asarray(ref.converged)).all()
+
+
+def test_xor_align_is_the_permutation():
+    from myldpccppapi_tpu.ops.pallas_bp import _xor_align
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((16, 4)).astype(np.float32))
+    for c in range(16):
+        got = np.asarray(_xor_align(x, c))
+        np.testing.assert_array_equal(got, np.asarray(x)[np.arange(16) ^ c])
+
+
+def test_byte_stream_codec():
+    from myldpccppapi_tpu.coder import make_codec
+
+    c = make_codec("rs_ldpc", 1024)
+    c.for_encoder()
+    c.for_decoder(16)
+    c.add_decode_type("TDMPCL")
+    src = (b"rs-ldpc byte stream " * 12)[:200]
+    prior = c.encode(src)
+    noisy = c.test(prior, sigma=0.3, seed=2)
+    out = c.decode(noisy, len(src), "TDMPCL")
+    assert bytes(out[: len(src)]) == src
 
 
 def test_validation_errors():
