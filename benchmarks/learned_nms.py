@@ -153,9 +153,55 @@ def fer():
                     "train_s": round(train_s, 1), **stats})
 
 
+def bg2():
+    """Second family: NR BG2 Z=384 (n=19968, unpunctured) at a fixed
+    8-iteration budget on the z-lane kernel — per-layer learned weights
+    are kernel-servable there too (static layer unroll)."""
+    from myldpccppapi_tpu.codes.nr import nr_code, triangular_encode_fn
+    from myldpccppapi_tpu.ops.pallas_zlane import decode_qc_zlane
+
+    code = nr_code(z=384, bg=2)
+    enc = triangular_encode_fn(code)
+    rng = np.random.default_rng(2)
+    batch = 512
+    u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
+    cw = np.asarray(enc(jnp.asarray(u)))
+
+    t0 = time.time()
+    # 42 layers need more data + the L2 pull: an unregularized 200-step run
+    # overfit to alphas up to 1.5 that stalled syndrome clearance entirely
+    # (results.jsonl learned_nms_bg2 rows of 2026-08-19, conv ~0)
+    lw = train_nms(code, n_iters=8, steps=400, batch=256,
+                   snr_db=(-1.75, -0.5), lr=0.01, seed=0, tie_iters=True,
+                   reg_to_init=2e-3)
+    train_s = time.time() - t0
+    save_weights("learned_weights_nr_bg2_z384_tied.json", lw)
+    a, b = lw.config_values(per_layer=True)
+
+    settings = [
+        ("default0.75", DecoderConfig(schedule="layered", normalization=0.75,
+                                      max_iters=8)),
+        ("learned_layer_zlane",
+         DecoderConfig(schedule="layered", normalization=a, offset=b,
+                       max_iters=8)),
+    ]
+    for snr_db in (-1.25, -1.0, -0.75):
+        for name, cfg in settings:
+            stats = _eval_batches(
+                code, u, cw,
+                lambda llr, c=cfg: decode_qc_zlane(code, c, llr),
+                snr_db=snr_db, n_draws=8, batch=batch,
+            )
+            record({"config": "learned_nms_bg2", "setting": name,
+                    "snr_db": snr_db, "budget": 8,
+                    "train_s": round(train_s, 1), **stats})
+
+
 if __name__ == "__main__":
     which = sys.argv[1:] or ["headline", "fer"]
     if "headline" in which:
         headline()
     if "fer" in which:
         fer()
+    if "bg2" in which:
+        bg2()

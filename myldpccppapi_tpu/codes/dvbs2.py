@@ -39,6 +39,7 @@ import numpy as np
 
 __all__ = ["DVBS2Code", "dvbs2", "dvbs2_ira_qc", "dvbs2_oracle",
            "parse_address_table", "std_interleave",
+           "bit_interleave", "bit_deinterleave", "BIT_INTERLEAVER_COLS",
            "ira_encode_fn", "ira_encode_numpy"]
 
 _GROUP = 360
@@ -379,6 +380,52 @@ def std_interleave(n: int, k: int) -> np.ndarray:
     i = np.arange(m)
     perm[k:] = k + (i % q) * _GROUP + i // q
     return perm
+
+
+#: EN 302 307 §5.3.3 bit-interleaver column counts per constellation
+#: (QPSK is not interleaved).
+BIT_INTERLEAVER_COLS = {"8psk": 3, "16apsk": 4, "32apsk": 5}
+
+
+def bit_interleave(bits, nc: int, col_order=None):
+    """EN 302 307 §5.3.3 block bit interleaver: the FECFRAME is written
+    COLUMN by column into an ``N/nc x nc`` array and read ROW by row, so
+    each transmitted symbol takes one bit from each column (= one bit from
+    each of ``nc`` equal spans of the codeword — mixing the IRA code's
+    weak accumulator tail across constellation bit levels).
+
+    ``col_order``: optional column WRITE order — the standard's 8PSK
+    rate-3/5 case uses a non-identity order (Table 8); that permutation is
+    drop-in data here, like the other normative tables (PROVENANCE.md).
+    Works on bits and LLR tensors alike ([..., N]).
+    """
+    import jax.numpy as jnp
+
+    lead, n = bits.shape[:-1], bits.shape[-1]
+    if n % nc:
+        raise ValueError(f"frame length {n} not divisible by {nc} columns")
+    m = bits.reshape(*lead, nc, n // nc)
+    if col_order is not None:
+        if sorted(col_order) != list(range(nc)):
+            raise ValueError(f"col_order must permute 0..{nc - 1}")
+        inv = np.argsort(np.asarray(col_order))
+        m = m[..., jnp.asarray(inv), :]
+    return m.swapaxes(-1, -2).reshape(*lead, n)
+
+
+def bit_deinterleave(llr, nc: int, col_order=None):
+    """Inverse of :func:`bit_interleave` (receive side, applied to LLRs)."""
+    import jax.numpy as jnp
+
+    lead, n = llr.shape[:-1], llr.shape[-1]
+    if n % nc:
+        raise ValueError(f"frame length {n} not divisible by {nc} columns")
+    m = llr.reshape(*lead, n // nc, nc).swapaxes(-1, -2)
+    if col_order is not None:
+        if sorted(col_order) != list(range(nc)):
+            raise ValueError(f"col_order must permute 0..{nc - 1}")
+        m = m[..., jnp.asarray(np.asarray(col_order)), :]
+    return m.reshape(*lead, n)
 
 
 def ira_encode_numpy(code, u: np.ndarray) -> np.ndarray:

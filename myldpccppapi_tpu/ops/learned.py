@@ -37,12 +37,11 @@ import numpy as np
 from ..codes.qc import QCCode
 from .bp import (
     _Q_INF,
+    _aligners,
     _check_update_minsum,
-    _col_align,
     _from_blocks,
     _layers,
     _mask_col,
-    _row_align,
     _to_blocks,
 )
 
@@ -62,6 +61,7 @@ def make_unrolled(code: QCCode, n_iters: int, schedule: str = "layered"):
     """
     layers = _layers(code)
     n_b, z = code.n_b, code.z
+    _row_align, _col_align = _aligners(code)
 
     def run(params, llr: jax.Array) -> jax.Array:
         a_rows = params["alpha"].shape[0]
@@ -182,6 +182,7 @@ def train_nms(
     encode_fn=None,
     log_every: int = 0,
     tie_iters: bool = False,
+    reg_to_init: float = 0.0,
 ) -> LearnedWeights:
     """Train per-iteration x per-layer min-sum weights for ``code``.
 
@@ -189,8 +190,13 @@ def train_nms(
     ``snr_db`` (train across the waterfall, not one point); LLRs are the
     proper 2y/sigma^2.  ``encode_fn`` switches from all-zero-codeword
     training (exact for this symmetric decoder) to random codewords.
-    Weights are projected to [0.05, 2] (alpha) / [0, 2] (beta) after each
-    Adam step.  Runs on whatever backend jax is configured for.
+    Weights are projected to [0.05, 1] (alpha — normalized min-sum with
+    alpha > 1 over-amplifies check messages and can stall syndrome
+    clearance even when hard decisions look fine) / [0, 2] (beta) after
+    each Adam step.  ``reg_to_init``: L2 pull toward the init — use on
+    codes with many layers, where a modest training budget otherwise
+    overfits noisy per-layer gradients.  Runs on whatever backend jax is
+    configured for.
     """
     import optax
 
@@ -232,13 +238,19 @@ def train_nms(
             if not train_offset:
                 p = {"alpha": p["alpha"],
                      "beta": jax.lax.stop_gradient(p["beta"])}
-            return soft_ber_loss(run(p, llr), cw)
+            loss = soft_ber_loss(run(p, llr), cw)
+            if reg_to_init:
+                loss = loss + reg_to_init * (
+                    jnp.mean(jnp.square(p["alpha"] - init_alpha))
+                    + jnp.mean(jnp.square(p["beta"] - init_beta))
+                )
+            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         params = {
-            "alpha": jnp.clip(params["alpha"], 0.05, 2.0),
+            "alpha": jnp.clip(params["alpha"], 0.05, 1.0),
             "beta": jnp.clip(params["beta"], 0.0, 2.0),
         }
         return params, opt_state, loss

@@ -241,3 +241,68 @@ def test_parse_address_table_drop_in():
     code_b = dvbs2(16200, "8/9")
     assert (code_a.base == code_b.base).all()
     assert code_a.extra_blocks == code_b.extra_blocks
+
+
+# ---------------------------------------------------------------------------
+# EN 302 307 §5.3.3 bit interleaver
+# ---------------------------------------------------------------------------
+
+def test_bit_interleaver_symbol_grouping():
+    from myldpccppapi_tpu.codes.dvbs2 import bit_interleave
+
+    n, nc = 12, 3
+    x = jnp.arange(n)
+    out = np.asarray(bit_interleave(x, nc))
+    rows = n // nc
+    # symbol r takes one bit from each column = positions c*rows + r
+    for r in range(rows):
+        assert out[r * nc:(r + 1) * nc].tolist() == [
+            c * rows + r for c in range(nc)
+        ]
+
+
+@pytest.mark.parametrize("nc", [3, 4, 5])
+def test_bit_interleaver_roundtrip(nc):
+    from myldpccppapi_tpu.codes.dvbs2 import bit_deinterleave, bit_interleave
+
+    rng = np.random.default_rng(nc)
+    x = rng.standard_normal((2, 60 * nc)).astype(np.float32)
+    out = bit_deinterleave(bit_interleave(jnp.asarray(x), nc), nc)
+    np.testing.assert_array_equal(np.asarray(out), x)
+
+
+def test_bit_interleaver_col_order_roundtrip():
+    from myldpccppapi_tpu.codes.dvbs2 import bit_deinterleave, bit_interleave
+
+    order = (2, 1, 0)
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((4, 30)).astype(np.float32)
+    mid = bit_interleave(jnp.asarray(x), 3, order)
+    assert not np.array_equal(np.asarray(mid),
+                              np.asarray(bit_interleave(jnp.asarray(x), 3)))
+    out = bit_deinterleave(mid, 3, order)
+    np.testing.assert_array_equal(np.asarray(out), x)
+
+
+def test_interleaved_16apsk_receive_roundtrip():
+    """encode -> §5.3.3 interleave -> 16APSK -> demap -> deinterleave ->
+    decode recovers the payload (noiseless)."""
+    from myldpccppapi_tpu import Decoder, DecoderConfig
+    from myldpccppapi_tpu.codes.dvbs2 import (
+        bit_deinterleave, bit_interleave, dvbs2, ira_encode_numpy,
+    )
+    from myldpccppapi_tpu.ops.modulation import apsk16, demap_llr, modulate
+
+    code = dvbs2(16200, "1/2")
+    rng = np.random.default_rng(5)
+    u = rng.integers(0, 2, size=(4, code.k), dtype=np.uint8)
+    cw = ira_encode_numpy(code, u)
+    tx = bit_interleave(jnp.asarray(cw), 4)
+    mod = apsk16()
+    sym = modulate(tx, mod)
+    llr_i = demap_llr(sym, 0.05, mod)
+    llr = bit_deinterleave(llr_i, 4)
+    res = Decoder(code, DecoderConfig(schedule="layered",
+                                      normalization=0.8))(llr)
+    assert np.asarray(res.converged).all()
+    assert (np.asarray(res.bits)[:, : code.k] == u).all()
