@@ -275,7 +275,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("snr", type=float)
     t.add_argument(
         "algo",
-        choices=["CPU", "MS", "SP", "TDMP", "MSCL", "TDMPCL"],
+        choices=["CPU", "MS", "SP", "TDMP", "MSCL", "TDMPCL", "BF"],
         help="decode type (reference Test.cpp names)",
     )
     t.add_argument("--n", type=int, default=576)

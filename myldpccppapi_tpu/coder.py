@@ -19,6 +19,8 @@ DecodeSP     flooding sum-product (log domain)
 DecodeTDMP   layered min-sum
 DecodeMSCL   flooding min-sum, fused Pallas kernel when available
 DecodeTDMPCL layered min-sum, fused Pallas kernel when available
+(no equiv)   BF: multi-flip noisy GDBF (ops/bitflip.py) — the
+             message-free bit-flipping tier below BP
 ==========  =====================================================
 """
 from __future__ import annotations
@@ -32,6 +34,7 @@ from .codes.wimax import wimax
 from .decoder import Decoder
 from .ops import golden
 from .ops.channel import awgn, bpsk_modulate
+from .ops.bitflip import GDBFConfig
 from .ops.packing import pack_bits_np, unpack_bits_np
 from .utils.config import DecoderConfig
 
@@ -108,6 +111,10 @@ DECODE_TYPES = {
     "MSCL": DecoderConfig(algorithm="min-sum", schedule="flooding", max_iters=120,
                           implementation="auto"),
     "TDMPCL": DecoderConfig(algorithm="min-sum", schedule="layered", implementation="auto"),
+    # bit-flipping tier (no reference equivalent): multi-flip noisy GDBF,
+    # message-free state.  Keeps its own (cheap) 100-flip budget like MSCL
+    # keeps its 120-iteration cap.
+    "BF": GDBFConfig(max_iters=100),
 }
 
 
@@ -184,9 +191,14 @@ class Coder:
         import dataclasses
 
         cfg = DECODE_TYPES[de_type]
-        if cfg.max_iters != self.max_iters and de_type != "MSCL":
+        if cfg.max_iters != self.max_iters and de_type not in ("MSCL", "BF"):
             cfg = dataclasses.replace(cfg, max_iters=self.max_iters)
         if self.crc is not None:
+            if de_type == "BF":
+                raise ValueError(
+                    "CRC-aided acceptance is a BP-path feature; GDBF (BF) "
+                    "has no in-loop integrity latch"
+                )
             cfg = dataclasses.replace(cfg, crc=self.crc)
         self._decoders[de_type] = Decoder(self.code, cfg)
 

@@ -97,6 +97,27 @@ class Decoder:
             import dataclasses
 
             config = dataclasses.replace(config, **overrides)
+        from .ops.bitflip import GDBFConfig
+
+        if isinstance(config, GDBFConfig):
+            # bit-flipping tier: message-free noisy GDBF (ops/bitflip.py) —
+            # ~4 vector ops/edge at a ~1.5 dB SNR cost vs BP; the decoder
+            # class extreme-rate links deploy.  Deterministic under jit
+            # (fixed perturbation key); call ops.bitflip.decode_gdbf
+            # directly to supply fresh keys per batch.
+            from .ops.bitflip import decode_gdbf
+
+            if not hasattr(code, "blocks"):
+                raise ValueError(
+                    "GDBF runs on block-structured (QC / XOR-group) codes; "
+                    "use a BP DecoderConfig for edge-list codes"
+                )
+            self.code = code
+            self.config = config
+            self.implementation = "gdbf"
+            self._edge_idx = None
+            self._fn = jax.jit(partial(decode_gdbf, code, config))
+            return
         self.code = code
         self.config = config
         impl = _implementation(config, code)

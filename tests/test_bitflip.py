@@ -85,3 +85,50 @@ def test_early_exit_false_runs_full_budget():
     assert int(res.total_iters) == 12
     assert np.asarray(res.converged).all()
     assert (np.asarray(res.iterations) == 1).all()  # latched at convergence
+
+# ---------------------------------------------------------------------------
+# user-surface wiring: Decoder facade + Coder "BF" decode type
+# ---------------------------------------------------------------------------
+
+def test_decoder_facade_gdbf():
+    from myldpccppapi_tpu import Decoder
+
+    code = wimax(576, "1/2")
+    u, c, llr = _case(code, 32, 7.5, seed=6)
+    dec = Decoder(code, GDBFConfig(max_iters=60))
+    assert dec.implementation == "gdbf"
+    res = dec(llr)
+    conv = np.asarray(res.converged)
+    assert conv.mean() > 0.95
+    assert (np.asarray(dec.info_bits(res))[conv] == u[conv]).all()
+
+
+def test_decoder_facade_gdbf_rejects_edgelist_codes():
+    from myldpccppapi_tpu import Decoder
+    from myldpccppapi_tpu.codes.dvbs2 import dvbs2_oracle
+
+    with pytest.raises(ValueError, match="block-structured"):
+        Decoder(dvbs2_oracle(16200, "1/2"), GDBFConfig())
+
+
+def test_coder_bf_decode_type_roundtrip():
+    from myldpccppapi_tpu import Coder
+
+    coder = Coder(288, 576, "1/2")
+    coder.for_encoder()
+    coder.for_decoder(16)
+    coder.add_decode_type("BF")
+    src = np.arange(16 * coder._kb, dtype=np.uint8)
+    prior = coder.encode(src)
+    post = coder.test(prior, sigma=0.21, seed=0)  # ~7.5 dB: BF territory
+    out = coder.decode(post, len(src), de_type="BF")
+    np.testing.assert_array_equal(np.asarray(out), src)
+
+
+def test_coder_bf_rejects_crc():
+    from myldpccppapi_tpu import make_codec
+
+    coder = make_codec("wimax", 576, "1/2", crc="16")
+    coder.for_decoder(8)
+    with pytest.raises(ValueError, match="BP-path"):
+        coder.add_decode_type("BF")
