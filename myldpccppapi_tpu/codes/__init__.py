@@ -19,6 +19,7 @@ from .nr_transport import (
     select_base_graph,
 )
 from .dvbs2 import dvbs2, dvbs2_ira_qc, dvbs2_oracle, ira_encode_fn
+from .pexit import pexit_run, protograph, threshold_ebn0, threshold_sigma
 from .rs_ldpc import RSLDPCCode, rs_ldpc
 from .crc import crc_attach_fn, crc_check_fn, crc_matrix, crc_numpy
 from .bch import (
@@ -43,6 +44,10 @@ __all__ = [
     "ira_encode_fn",
     "nr_code",
     "NRTransport",
+    "pexit_run",
+    "protograph",
+    "threshold_ebn0",
+    "threshold_sigma",
     "plan_tb",
     "select_base_graph",
     "TBFormat",
