@@ -243,6 +243,21 @@ def cmd_waterfall(args) -> int:
     return 0
 
 
+def cmd_threshold(args) -> int:
+    """PEXIT decoding threshold of a code family (host-side analysis)."""
+    from .codes.pexit import protograph, threshold_ebn0, threshold_sigma
+
+    code = _make_code(args)
+    thr = threshold_ebn0(code)
+    pf = getattr(code, "punctured_front", 0)
+    rate = code.k_info / (code.n - pf)
+    print(f"code={code.name} rate_tx={rate:.4f} "
+          f"edges={int(protograph(code).sum())}")
+    print(f"threshold_ebn0_db={thr:.3f}")
+    print(f"threshold_sigma={threshold_sigma(code):.4f}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     # bench.py lives at the repo root, outside the package: resolve it
     # relative to this file so `python -m myldpccppapi_tpu bench` works from
@@ -335,6 +350,19 @@ def build_parser() -> argparse.ArgumentParser:
 
     b = sub.add_parser("bench", help="headline throughput benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    th = sub.add_parser(
+        "threshold",
+        help="PEXIT decoding threshold (density evolution on the protograph)"
+    )
+    th.add_argument("--family", default="wimax",
+                    choices=["wimax", "wifi", "regular", "nr", "dvbs2",
+                             "rs_ldpc"])
+    th.add_argument("--n", type=int, default=576)
+    th.add_argument("--rate", default="1/2")
+    th.add_argument("--z", type=int, default=384, help="NR lifting size")
+    th.add_argument("--bg", type=int, default=1, help="NR base graph")
+    th.set_defaults(fn=cmd_threshold)
     return p
 
 

@@ -148,7 +148,8 @@ _DEFAULT_TABLE_SEED = {1: 3, 2: 0}
 
 
 def nr_base_graph(bg: int = 1, zmax: int = NR_ZMAX,
-                  seed: "int | None" = None) -> np.ndarray:
+                  seed: "int | None" = None,
+                  support: "np.ndarray | None" = None) -> np.ndarray:
     """Synthetic BG1/BG2-structured base matrix with shifts in [0, zmax).
 
     Structure (matching TS 38.212's shape, not its values):
@@ -158,6 +159,12 @@ def nr_base_graph(bg: int = 1, zmax: int = NR_ZMAX,
     * cols k_b+4..: one identity column per extension row,
     * core rows are dense over the systematic columns; extension rows have
       degree ~4 plus their identity bit.
+
+    ``support``: optional explicit boolean edge support [m_b, n_b] — e.g.
+    a PEXIT-optimized protograph from :func:`.design.optimize_nr_support`
+    — which replaces the random support above; the staircase / identity
+    diagonal cells keep shift 0 (the triangular encoder), all other
+    support cells get girth-aware shifts.
 
     Shifts are chosen 4-cycle-free at the design lifting ``zmax``
     (:func:`_fill_girth6_shifts`) — the published tables are also
@@ -171,27 +178,36 @@ def nr_base_graph(bg: int = 1, zmax: int = NR_ZMAX,
     # -1 = zero block, -2 = present (shift chosen girth-aware below)
     base = np.full((m_b, n_b), -1, dtype=np.int32)
 
-    # core rows: dense over systematic columns
-    for i in range(4):
-        cols = set(range(0, 2)) | set(
-            rng.choice(np.arange(2, k_b), size=max(k_b - 5, 2), replace=False)
-        )
-        for j in cols:
-            base[i, j] = -2
+    if support is not None:
+        support = np.asarray(support, dtype=bool)
+        if support.shape != (m_b, n_b):
+            raise ValueError(f"BG{bg} support must be [{m_b}, {n_b}]")
+        base[support] = -2
+    else:
+        # core rows: dense over systematic columns
+        for i in range(4):
+            cols = set(range(0, 2)) | set(
+                rng.choice(np.arange(2, k_b), size=max(k_b - 5, 2),
+                           replace=False)
+            )
+            for j in cols:
+                base[i, j] = -2
+        # extension rows
+        for r in range(4, m_b):
+            cols = {r % 2}  # protect the punctured columns 0/1
+            cols |= set(rng.choice(np.arange(2, k_b), size=3, replace=False))
+            if rng.random() < 0.4:
+                cols.add(int(k_b + rng.integers(0, 4)))
+            for j in cols:
+                base[r, j] = -2
     # core parity staircase (shift 0 diagonals -> trivially invertible)
     for i in range(4):
         base[i, k_b + i] = 0
         if i + 1 < 4:
             base[i + 1, k_b + i] = 0
-    # extension rows
+    # identity extension columns
     for r in range(4, m_b):
-        cols = {r % 2}  # protect the punctured columns 0/1
-        cols |= set(rng.choice(np.arange(2, k_b), size=3, replace=False))
-        if rng.random() < 0.4:
-            cols.add(int(k_b + rng.integers(0, 4)))
-        for j in cols:
-            base[r, j] = -2
-        base[r, k_b + 4 + (r - 4)] = 0  # identity extension column
+        base[r, k_b + 4 + (r - 4)] = 0
     _fill_girth6_shifts(base, rng, zmax)
     return base
 

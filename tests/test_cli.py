@@ -82,3 +82,13 @@ def test_waterfall_rejects_crc_plus_bch():
             "--crc", "16", "--bch", "--snr", "3", "--batch", "8",
             "--max-frames", "8",
         ])
+
+
+def test_threshold_subcommand(capsys):
+    rc = main(["threshold", "--family", "wimax", "--n", "576",
+               "--rate", "1/2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    thr = float(out.split("threshold_ebn0_db=")[1].splitlines()[0])
+    assert 0.5 < thr < 1.2
+    assert "threshold_sigma=" in out

@@ -1,0 +1,74 @@
+"""PEXIT-guided base-graph design: constraint preservation, threshold
+descent, and lifting/encoding of optimized supports."""
+import numpy as np
+import pytest
+
+from myldpccppapi_tpu.codes.design import (
+    _threshold, _valid, nr_support_default, optimize_nr_support,
+)
+from myldpccppapi_tpu.codes.nr import (
+    _check_triangular, nr_base_graph, nr_code, triangular_encode_numpy,
+)
+
+pytestmark = pytest.mark.slow  # host-side search, ~1 min total
+
+
+def test_default_support_is_valid():
+    for bg in (1, 2):
+        assert _valid(nr_support_default(bg), bg)
+
+
+def test_optimize_improves_threshold_and_keeps_constraints():
+    b0 = nr_support_default(2)
+    t0 = _threshold(b0.astype(int), 2, -2.0, 10.0, 0.02)
+    b, thr = optimize_nr_support(bg=2, steps=60, seed=7)
+    assert _valid(b, 2)
+    assert thr < t0 - 0.2
+    # fixed structure untouched: identity extension diagonal intact
+    m_b, n_b = b.shape
+    k_b = 10
+    for r in range(4, m_b):
+        assert b[r, k_b + 4 + (r - 4)]
+
+
+def test_optimized_support_lifts_and_encodes():
+    b, thr = optimize_nr_support(bg=2, steps=40, seed=3)
+    tab = nr_base_graph(2, support=b, seed=0)
+    code = nr_code(z=32, bg=2, table=tab)
+    _check_triangular(code)
+    # threshold survives lifting (protograph is preserved)
+    from myldpccppapi_tpu.codes.pexit import threshold_ebn0
+
+    assert threshold_ebn0(code) == pytest.approx(thr, abs=0.05)
+    u = np.random.default_rng(0).integers(0, 2, (4, code.k), np.uint8)
+    cw = triangular_encode_numpy(code, u)
+    h = code.h_dense().astype(np.int64)
+    assert not ((cw.astype(np.int64) @ h.T) % 2).any()
+    # girth-6 at the design lifting: no 4-cycles
+    tab_full = nr_base_graph(2, support=b)
+    from myldpccppapi_tpu.codes.nr import NR_ZMAX
+
+    m_b, n_b = tab_full.shape
+    for i1 in range(m_b):
+        for i2 in range(i1 + 1, m_b):
+            shared = [j for j in range(n_b)
+                      if tab_full[i1, j] >= 0 and tab_full[i2, j] >= 0]
+            for a in range(len(shared)):
+                for c in range(a + 1, len(shared)):
+                    j1, j2 = shared[a], shared[c]
+                    d = (tab_full[i1, j1] - tab_full[i1, j2]
+                         + tab_full[i2, j2] - tab_full[i2, j1]) % NR_ZMAX
+                    assert d != 0
+
+
+def test_bad_support_rejected():
+    b = nr_support_default(2).copy()
+    b[:, 0] = False  # strip the punctured column's protection
+    assert not _valid(b, 2)
+    with pytest.raises(AssertionError):
+        optimize_nr_support(bg=2, steps=1, start=b)
+
+
+def test_support_shape_checked():
+    with pytest.raises(ValueError, match="support"):
+        nr_base_graph(2, support=np.ones((3, 3), bool))
