@@ -37,11 +37,11 @@ def _nr_shapes(bg: int) -> Tuple[int, int, int]:
 
 
 def nr_support_default(bg: int, seed: Optional[int] = None) -> np.ndarray:
-    """Boolean support of the current synthetic base graph (the search
-    start point)."""
+    """Boolean support of the LEGACY profile-recall synthetic base graph
+    (the search start point — not the already-designed default)."""
     from .nr import nr_base_graph
 
-    return nr_base_graph(bg, seed=seed) >= 0
+    return nr_base_graph(bg, seed=seed, support="legacy") >= 0
 
 
 def _nr_fixed_and_bounds(bg: int):

@@ -146,6 +146,11 @@ def _fill_girth6_shifts(base, rng, zmax) -> None:
 #: tables are finalized by simulation).
 _DEFAULT_TABLE_SEED = {1: 3, 2: 0}
 
+#: Shift seed for the PEXIT-designed supports (codes/nr_designed.py),
+#: selected from four girth-6 candidates by measured tail FER on chip
+#: (results.jsonl "nr_design_seed_select").
+_DESIGNED_SHIFT_SEED = {2: 0}
+
 
 def nr_base_graph(bg: int = 1, zmax: int = NR_ZMAX,
                   seed: "int | None" = None,
@@ -160,11 +165,18 @@ def nr_base_graph(bg: int = 1, zmax: int = NR_ZMAX,
     * core rows are dense over the systematic columns; extension rows have
       degree ~4 plus their identity bit.
 
-    ``support``: optional explicit boolean edge support [m_b, n_b] — e.g.
-    a PEXIT-optimized protograph from :func:`.design.optimize_nr_support`
-    — which replaces the random support above; the staircase / identity
-    diagonal cells keep shift 0 (the triangular encoder), all other
-    support cells get girth-aware shifts.
+    ``support``: the edge support to lift.
+    * ``None`` (default): the PEXIT-designed support where one exists
+      (:mod:`.nr_designed` — BG2, threshold -0.715 dB vs the legacy
+      profile-recall synthetic's +1.58; measured on chip as a ~1.75 dB
+      waterfall shift, results.jsonl "nr_design_eval"/"nr_design_scan"),
+      else the legacy random-profile synthetic.
+    * ``"legacy"``: the pre-design random-profile synthetic (what rounds
+      1-3 measured; kept for comparability).
+    * an explicit boolean [m_b, n_b] array — e.g. fresh output of
+      :func:`.design.optimize_nr_support`.
+    The staircase / identity diagonal cells keep shift 0 (the triangular
+    encoder); all other support cells get girth-aware shifts.
 
     Shifts are chosen 4-cycle-free at the design lifting ``zmax``
     (:func:`_fill_girth6_shifts`) — the published tables are also
@@ -172,8 +184,17 @@ def nr_base_graph(bg: int = 1, zmax: int = NR_ZMAX,
     error-floor penalty (BENCH_NOTES round-2 NR waterfall).
     """
     m_b, n_b, k_b = _BG_SHAPES[bg]
+    if support is None:
+        from .nr_designed import DESIGNED_SUPPORT, designed_support
+
+        support = designed_support(bg) if bg in DESIGNED_SUPPORT else "legacy"
+    if isinstance(support, str):
+        if support != "legacy":
+            raise ValueError(f"unknown support {support!r}")
+        support = None
     if seed is None:
-        seed = _DEFAULT_TABLE_SEED[bg]
+        seed = (_DESIGNED_SHIFT_SEED if support is not None
+                else _DEFAULT_TABLE_SEED)[bg]
     rng = np.random.default_rng(38212 + bg + 7919 * seed)
     # -1 = zero block, -2 = present (shift chosen girth-aware below)
     base = np.full((m_b, n_b), -1, dtype=np.int32)

@@ -72,3 +72,25 @@ def test_bad_support_rejected():
 def test_support_shape_checked():
     with pytest.raises(ValueError, match="support"):
         nr_base_graph(2, support=np.ones((3, 3), bool))
+
+
+def test_designed_bg2_is_the_default():
+    from myldpccppapi_tpu.codes.nr_designed import (
+        DESIGNED_THRESHOLD_DB, designed_support,
+    )
+    from myldpccppapi_tpu.codes.pexit import threshold_ebn0
+
+    # the shipped default lifts the designed support
+    tab = nr_base_graph(2)
+    sup = designed_support(2)
+    assert ((tab >= 0) == sup).all() or (
+        # structural cells are forced on even if the support omitted them
+        ((tab >= 0) & ~sup).sum() == 0
+    )
+    code = nr_code(z=32, bg=2)
+    thr = threshold_ebn0(code)
+    assert thr == pytest.approx(DESIGNED_THRESHOLD_DB[2], abs=0.05)
+    # and beats the legacy profile-recall synthetic by > 2 dB
+    legacy = nr_code(z=32, bg=2, table=nr_base_graph(2, support="legacy"))
+    assert threshold_ebn0(legacy) - thr > 2.0
+    assert _valid(sup, 2)
