@@ -170,9 +170,15 @@ def bg2():
     t0 = time.time()
     # 42 layers need more data + the L2 pull: an unregularized 200-step run
     # overfit to alphas up to 1.5 that stalled syndrome clearance entirely
-    # (results.jsonl learned_nms_bg2 rows of 2026-08-19, conv ~0)
+    # (results.jsonl learned_nms_bg2 rows of 2026-08-19, conv ~0).
+    # Operating range tracks the PEXIT-designed BG2 default (cliff at
+    # -3.25..-3.0 dB; the legacy table's was -1.5..-1.0).  Train AT and
+    # above the cliff: a range dominated by hopeless frames (-4.0, -2.75)
+    # drove the tied weights to conv=0 everywhere (results.jsonl
+    # 2026-08-19 second block) — soft-BER gradients from unconvergeable
+    # samples are pure noise.
     lw = train_nms(code, n_iters=8, steps=400, batch=256,
-                   snr_db=(-1.75, -0.5), lr=0.01, seed=0, tie_iters=True,
+                   snr_db=(-3.0, -1.75), lr=0.01, seed=0, tie_iters=True,
                    reg_to_init=2e-3)
     train_s = time.time() - t0
     save_weights("learned_weights_nr_bg2_z384_tied.json", lw)
@@ -185,7 +191,7 @@ def bg2():
          DecoderConfig(schedule="layered", normalization=a, offset=b,
                        max_iters=8)),
     ]
-    for snr_db in (-1.25, -1.0, -0.75):
+    for snr_db in (-3.25, -3.0, -2.75):
         for name, cfg in settings:
             stats = _eval_batches(
                 code, u, cw,

@@ -154,3 +154,194 @@ def optimize_nr_support(
             if log_every and (step % log_every == 0):
                 print(f"[design] step {step}: threshold {thr:.3f} dB")
     return b, thr
+
+
+# ---------------------------------------------------------------------------
+# DVB-S2 IRA profile design
+# ---------------------------------------------------------------------------
+
+def _dvbs2_dims(n: int, rate: str):
+    from .dvbs2 import _GROUP, _SHORT_K_LDPC
+
+    num, den = map(int, rate.split("/"))
+    k = _SHORT_K_LDPC[rate] if n == 16200 else n * num // den
+    m = n - k
+    return k, m, k // _GROUP, m // _GROUP, _GROUP
+
+
+def _dvbs2_protograph(bi: np.ndarray, q: int, kb: int) -> np.ndarray:
+    """Full protograph from the info multiplicity matrix: accumulator
+    staircase appended (the wrap circulant counts as a full edge,
+    O(1/z) like in :func:`.pexit.protograph`)."""
+    b = np.zeros((q, kb + q), dtype=np.int64)
+    b[:, :kb] = bi
+    for a in range(q):
+        b[a, kb + a] += 1
+        if a + 1 < q:
+            b[a + 1, kb + a] += 1
+    b[0, kb + q - 1] += 1  # wrap
+    return b
+
+
+def dvbs2_start_profile(n: int, rate: str) -> np.ndarray:
+    """Info-part multiplicity matrix [q, kb] of the current synthetic
+    table (the search start point)."""
+    import warnings
+
+    from .dvbs2 import dvbs2_ira_qc, synthetic_address_table
+    from .pexit import protograph
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        code = dvbs2_ira_qc(n, rate, synthetic_address_table(n, rate))
+    k, m, kb, q, z = _dvbs2_dims(n, rate)
+    return np.asarray(protograph(code)[:, :kb], dtype=np.int64)
+
+
+def _dvbs2_valid(bi: np.ndarray, edge_cap: int, min_degree: int = 3) -> bool:
+    col = bi.sum(axis=0)
+    # EN 302 307 profile range caps at 13.  The info-degree FLOOR is a
+    # FINITE-LENGTH knob, not a threshold one: low-degree info columns
+    # improve the asymptotic threshold but, stacked on the degree-2
+    # accumulator chain, produce low-weight codewords and a shallow
+    # measured waterfall (results.jsonl dvbs2_design_eval: the min-2 and
+    # min-3 designs both decay ~1 decade per 0.5 dB at n=16200 instead of
+    # the legacy all-degree-8 table's cliff).  Raise it to buy slope with
+    # threshold.
+    if col.min() < min_degree or col.max() > 13:
+        return False
+    # connectivity DIVERSITY per group, invisible to PEXIT (multiplicity is
+    # asymptotically equivalent) but fatal at finite length: a group whose
+    # degree concentrates in 1-2 row classes forms low-weight structures
+    # with the accumulator (measured: a deg-3 single-row-class group gave
+    # the min-3 r1/2 design an FER floor ~0.09 at 1.5 dB, results.jsonl
+    # dvbs2_design_eval).  Require >= 3 distinct row classes per group and
+    # at most one doubled address (the standard's own multi-edge pattern).
+    if (bi > 0).sum(axis=0).min() < 3:
+        return False
+    if bi.max() > 2:
+        return False
+    if bi.sum() > edge_cap:
+        return False
+    row = bi.sum(axis=1)
+    if row.min() < 1:                     # every layer must see info bits
+        return False
+    return True
+
+
+def optimize_dvbs2_profile(
+    n: int = 16200,
+    rate: str = "1/2",
+    steps: int = 1500,
+    seed: int = 0,
+    start: Optional[np.ndarray] = None,
+    edge_slack: int = 0,
+    min_degree: int = 3,
+    tol_db: float = 0.02,
+    log_every: int = 0,
+) -> Tuple[np.ndarray, float]:
+    """Greedy threshold descent on the IRA info-part multiplicity matrix.
+
+    Moves: relocate one multiplicity unit between cells; add one (within
+    ``edge_slack`` of the start's edge count — per-iteration decode cost);
+    drop one.  The accumulator staircase is fixed (it IS the encoder);
+    column degrees stay in the standard's [2, 13] profile range.
+    Returns (bi [q, kb], threshold_ebn0_db).
+    """
+    k, m, kb, q, z = _dvbs2_dims(n, rate)
+    rng = np.random.default_rng(seed)
+    bi = (start if start is not None else dvbs2_start_profile(n, rate)).copy()
+    edge_cap = int(bi.sum()) + edge_slack
+    if not _dvbs2_valid(bi, edge_cap, min_degree):
+        # sanitize: keep the start's DEGREE PROFILE but spread each group's
+        # edges round-robin over distinct row classes (the random legacy
+        # draw can concentrate residues, violating the diversity rule)
+        degs = np.maximum(bi.sum(axis=0), min_degree)
+        bi = np.zeros_like(bi)
+        for g in range(kb):
+            for i in range(int(degs[g])):
+                bi[(g * 7 + i * max(1, q // int(degs[g]))) % q, g] += 1
+        # round-robin can still double a cell for degrees near q: spread
+        # leftovers to empty rows
+        for g in range(kb):
+            while bi[:, g].max() > 2 or (bi[:, g] > 0).sum() < 3:
+                l_hi = int(np.argmax(bi[:, g]))
+                l_lo = int(np.argmin(bi[:, g]))
+                bi[l_hi, g] -= 1
+                bi[l_lo, g] += 1
+    assert _dvbs2_valid(bi, edge_cap, min_degree), "unsatisfiable start"
+    rate_f = k / n
+
+    def thr_of(b, lo, hi):
+        return threshold_ebn0(_dvbs2_protograph(b, q, kb), rate=rate_f,
+                              punctured_cols=(), lo=lo, hi=hi, tol_db=tol_db)
+
+    def converges(b, ebn0):
+        pg = _dvbs2_protograph(b, q, kb)
+        s = np.full(pg.shape[1], 8.0 * rate_f * 10.0 ** (ebn0 / 10.0))
+        return pexit_run(pg, s).converged
+
+    thr = thr_of(bi, -3.0, 10.0)
+    for step in range(steps):
+        cand = bi.copy()
+        kind = rng.random()
+        l1, g1 = rng.integers(0, q), rng.integers(0, kb)
+        l2, g2 = rng.integers(0, q), rng.integers(0, kb)
+        if kind < 0.7:                     # relocate one unit
+            if cand[l1, g1] == 0:
+                continue
+            cand[l1, g1] -= 1
+            cand[l2, g2] += 1
+        elif kind < 0.85:                  # add
+            cand[l2, g2] += 1
+        else:                              # drop
+            if cand[l1, g1] == 0:
+                continue
+            cand[l1, g1] -= 1
+        if not _dvbs2_valid(cand, edge_cap, min_degree):
+            continue
+        if converges(cand, thr - tol_db):
+            bi = cand
+            thr = thr_of(bi, thr - 2.0, thr)
+            if log_every and (step % log_every == 0):
+                print(f"[design] step {step}: threshold {thr:.3f} dB")
+    return bi, thr
+
+
+def realize_dvbs2_addresses(
+    bi: np.ndarray, n: int, rate: str, seed: int = 0, draws: int = 24,
+) -> Tuple[Tuple[int, ...], ...]:
+    """Turn a designed multiplicity matrix into an EN 302 307-style address
+    table: entry (l, g) with multiplicity c becomes c addresses
+    ``a = l + q*t`` with distinct t in [0, 360) — drawn girth-aware with
+    the same redraw-and-count loop as the synthetic default tables
+    (:func:`.dvbs2.synthetic_address_table`)."""
+    from .dvbs2 import _count_std_4cycles
+
+    k, m, kb, q, z = _dvbs2_dims(n, rate)
+    best, best_cycles = None, None
+    for attempt in range(draws):
+        rng = np.random.default_rng(302307 + n + 17 * seed + 7919 * attempt)
+        addrs = []
+        for g in range(kb):
+            a_g = []
+            for l in range(q):
+                c = int(bi[l, g])
+                if not c:
+                    continue
+                ts = rng.choice(z, size=c, replace=False)
+                a_g.extend(int(l + q * t) for t in ts)
+            addrs.append(tuple(a_g))
+        cycles = _count_std_4cycles(addrs, k, m)
+        if cycles == 0:
+            return tuple(addrs)
+        if best_cycles is None or cycles < best_cycles:
+            best, best_cycles = tuple(addrs), cycles
+    import warnings
+
+    warnings.warn(
+        f"designed dvbs2 n={n} r={rate}: no girth-6 realization in "
+        f"{draws} draws; least-cyclic kept ({best_cycles} 4-cycles)",
+        stacklevel=2,
+    )
+    return best

@@ -313,7 +313,11 @@ def dvbs2_ira_qc(n: int = 64800, rate: str = "1/2",
     Exact standard H structure (accumulator parity, multi-edge blocks,
     masked wrap circulant) in the row-residue-permuted QC domain; pass the
     published Annex B/C ``addresses`` (via :func:`parse_address_table`) for
-    the bit-true standard code, or omit for the synthetic default table.
+    the bit-true standard code, or omit for the synthetic default table —
+    the PEXIT-designed one where it exists (:mod:`.dvbs2_designed`: the
+    16200 low-rate profiles, whose recall measured >1.3 dB from capacity;
+    BENCH_NOTES round 4), else the profile-recall synthetic
+    (``addresses="legacy"`` forces the latter).
     Use :func:`std_interleave` to map between the standard's transmitted
     bit order and this internal QC order, and :func:`ira_encode_fn` /
     :func:`ira_encode_numpy` for O(n) encoding.
@@ -321,6 +325,14 @@ def dvbs2_ira_qc(n: int = 64800, rate: str = "1/2",
     from .qc import QCCode
 
     if addresses is None:
+        from .dvbs2_designed import DESIGNED_ADDRESSES
+
+        addresses = DESIGNED_ADDRESSES.get((n, rate))
+        if addresses is None:
+            addresses = synthetic_address_table(n, rate)
+    elif isinstance(addresses, str):
+        if addresses != "legacy":
+            raise ValueError(f"unknown addresses {addresses!r}")
         addresses = synthetic_address_table(n, rate)
     num, den = map(int, rate.split("/"))
     k = _SHORT_K_LDPC[rate] if n == 16200 else n * num // den
@@ -505,8 +517,8 @@ def dvbs2(n: int = 64800, rate: str = "1/2",
 def dvbs2_oracle(n: int = 64800, rate: str = "1/2") -> DVBS2Code:
     """Standard-domain (un-permuted) DVB-S2 code on the generic edge-list
     path — the INDEPENDENT TEST ORACLE for :func:`dvbs2`'s QC
-    transformation (same synthetic address tables), not a production
-    decoder.  Use :func:`dvbs2` everywhere else."""
+    transformation (same default address tables, designed or synthetic),
+    not a production decoder.  Use :func:`dvbs2` everywhere else."""
     num, den = map(int, rate.split("/"))
     if n == 16200:
         if rate not in _SHORT_K_LDPC:
@@ -516,9 +528,12 @@ def dvbs2_oracle(n: int = 64800, rate: str = "1/2") -> DVBS2Code:
         k = n * num // den
     if (n - k) % _GROUP or k % _GROUP:
         raise ValueError(f"n={n} rate={rate}: k and m must be multiples of 360")
+    from .dvbs2_designed import DESIGNED_ADDRESSES
+
     return DVBS2Code(
         name=f"dvbs2_n{n}_r{num}{den}",
         n=n,
         k=k,
-        addresses=synthetic_address_table(n, rate),
+        addresses=DESIGNED_ADDRESSES.get((n, rate))
+        or synthetic_address_table(n, rate),
     )

@@ -94,3 +94,57 @@ def test_designed_bg2_is_the_default():
     legacy = nr_code(z=32, bg=2, table=nr_base_graph(2, support="legacy"))
     assert threshold_ebn0(legacy) - thr > 2.0
     assert _valid(sup, 2)
+
+
+# ---------------------------------------------------------------------------
+# DVB-S2 IRA profile design
+# ---------------------------------------------------------------------------
+
+def test_dvbs2_profile_descent_and_realization():
+    import warnings
+
+    from myldpccppapi_tpu.codes.design import (
+        _dvbs2_protograph, dvbs2_start_profile, optimize_dvbs2_profile,
+        realize_dvbs2_addresses,
+    )
+    from myldpccppapi_tpu.codes.dvbs2 import dvbs2, ira_encode_numpy
+    from myldpccppapi_tpu.codes.pexit import protograph, threshold_ebn0
+
+    n, rate = 16200, "1/2"
+    bi0 = dvbs2_start_profile(n, rate)
+    bi, thr = optimize_dvbs2_profile(n, rate, steps=150, seed=5)
+    t0 = threshold_ebn0(_dvbs2_protograph(bi0, 25, 20), rate=7200 / 16200,
+                        punctured_cols=())
+    assert thr < t0  # descent
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # girth-6 realization must succeed
+        addrs = realize_dvbs2_addresses(bi, n, rate, seed=0)
+    code = dvbs2(n, rate, addresses=addrs)
+    # the realized code's protograph IS the designed one
+    np.testing.assert_array_equal(np.asarray(protograph(code)[:, :20]), bi)
+    assert threshold_ebn0(code) == pytest.approx(thr, abs=0.05)
+    # and it encodes/checks
+    u = np.random.default_rng(0).integers(0, 2, (2, code.k), np.uint8)
+    cw = ira_encode_numpy(code, u)
+    assert code.syndrome(cw).sum() == 0
+
+
+def test_designed_dvbs2_defaults():
+    from myldpccppapi_tpu.codes.dvbs2 import dvbs2
+    from myldpccppapi_tpu.codes.dvbs2_designed import (
+        DESIGNED_ADDRESSES, DESIGNED_THRESHOLD_DB,
+    )
+    from myldpccppapi_tpu.codes.pexit import threshold_ebn0
+
+    for (n, rate), thr_frozen in DESIGNED_THRESHOLD_DB.items():
+        code = dvbs2(n, rate)
+        assert threshold_ebn0(code) == pytest.approx(thr_frozen, abs=0.05)
+        legacy = dvbs2(n, rate, addresses="legacy")
+        assert threshold_ebn0(legacy) - thr_frozen > 0.9
+        # diversity constraints hold in the shipped tables
+        q = (n - code.k) // 360
+        for g, addrs in enumerate(DESIGNED_ADDRESSES[(n, rate)]):
+            residues = [a % q for a in addrs]
+            assert len(set(residues)) >= 3, (n, rate, g)
+            assert max(residues.count(r) for r in set(residues)) <= 2
