@@ -258,6 +258,48 @@ def cmd_threshold(args) -> int:
     return 0
 
 
+def cmd_design(args) -> int:
+    """PEXIT-guided base-graph / profile design (host-side search)."""
+    import numpy as np
+
+    if args.family == "nr":
+        from .codes.design import nr_support_default, optimize_nr_support
+        from .codes.design import _threshold as nr_threshold
+
+        start = nr_support_default(args.bg)
+        t0 = nr_threshold(start.astype(int), args.bg, -3.0, 10.0, 0.02)
+        b, thr = optimize_nr_support(bg=args.bg, steps=args.steps,
+                                     seed=args.seed,
+                                     log_every=args.steps // 10 or 1)
+        print(f"legacy threshold:   {t0:.3f} dB")
+        print(f"designed threshold: {thr:.3f} dB  ({b.sum()} edges)")
+        if args.out:
+            np.save(args.out, b)
+            print(f"support saved to {args.out} — lift with "
+                  f"nr_code(bg={args.bg}, table=nr_base_graph({args.bg}, "
+                  f"support=np.load(...)))")
+        return 0
+    if args.family == "dvbs2":
+        from .codes.design import (
+            optimize_dvbs2_profile, realize_dvbs2_addresses,
+        )
+
+        bi, thr = optimize_dvbs2_profile(
+            args.n, args.rate, steps=args.steps, seed=args.seed,
+            log_every=args.steps // 10 or 1)
+        print(f"designed threshold: {thr:.3f} dB  ({bi.sum()} edges)")
+        addrs = realize_dvbs2_addresses(bi, args.n, args.rate)
+        if args.out:
+            with open(args.out, "w") as f:
+                for a in addrs:
+                    f.write(" ".join(str(x) for x in a) + "\n")
+            print(f"address table saved to {args.out} — load with "
+                  f"dvbs2(n, rate, addresses=parse_address_table(open(...)"
+                  f".read()))")
+        return 0
+    raise SystemExit(f"design supports families nr, dvbs2 (got {args.family})")
+
+
 def cmd_bench(args) -> int:
     # bench.py lives at the repo root, outside the package: resolve it
     # relative to this file so `python -m myldpccppapi_tpu bench` works from
@@ -363,6 +405,20 @@ def build_parser() -> argparse.ArgumentParser:
     th.add_argument("--z", type=int, default=384, help="NR lifting size")
     th.add_argument("--bg", type=int, default=1, help="NR base graph")
     th.set_defaults(fn=cmd_threshold)
+
+    d = sub.add_parser(
+        "design",
+        help="PEXIT-guided threshold descent on a base graph / IRA profile"
+    )
+    d.add_argument("--family", default="nr", choices=["nr", "dvbs2"])
+    d.add_argument("--bg", type=int, default=2, help="NR base graph")
+    d.add_argument("--n", type=int, default=16200)
+    d.add_argument("--rate", default="1/2")
+    d.add_argument("--steps", type=int, default=300)
+    d.add_argument("--seed", type=int, default=0)
+    d.add_argument("--out", default=None,
+                   help=".npy (nr support) / text table (dvbs2 addresses)")
+    d.set_defaults(fn=cmd_design)
     return p
 
 

@@ -285,18 +285,19 @@ def optimize_dvbs2_profile(
     for step in range(steps):
         cand = bi.copy()
         kind = rng.random()
-        l1, g1 = rng.integers(0, q), rng.integers(0, kb)
-        l2, g2 = rng.integers(0, q), rng.integers(0, kb)
+        # sample the SOURCE from the nonzero cells (uniform over cells is
+        # hopeless on large sparse profiles: 450 edges in a 90x90 grid hit
+        # a nonzero source 5% of the time and the search stalls)
+        nz_l, nz_g = np.nonzero(cand)
+        e = int(rng.integers(0, len(nz_l)))
+        l1, g1 = int(nz_l[e]), int(nz_g[e])
+        l2, g2 = int(rng.integers(0, q)), int(rng.integers(0, kb))
         if kind < 0.7:                     # relocate one unit
-            if cand[l1, g1] == 0:
-                continue
             cand[l1, g1] -= 1
             cand[l2, g2] += 1
         elif kind < 0.85:                  # add
             cand[l2, g2] += 1
         else:                              # drop
-            if cand[l1, g1] == 0:
-                continue
             cand[l1, g1] -= 1
         if not _dvbs2_valid(cand, edge_cap, min_degree):
             continue

@@ -92,3 +92,17 @@ def test_threshold_subcommand(capsys):
     thr = float(out.split("threshold_ebn0_db=")[1].splitlines()[0])
     assert 0.5 < thr < 1.2
     assert "threshold_sigma=" in out
+
+
+def test_design_subcommand(tmp_path, capsys):
+    out = tmp_path / "addrs.txt"
+    rc = main(["design", "--family", "dvbs2", "--n", "16200",
+               "--rate", "1/2", "--steps", "10", "--out", str(out)])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "designed threshold:" in text
+    # the saved table loads back as a valid code
+    from myldpccppapi_tpu.codes.dvbs2 import dvbs2, parse_address_table
+
+    code = dvbs2(16200, "1/2", addresses=parse_address_table(out.read_text()))
+    assert code.n == 16200
