@@ -1,6 +1,7 @@
 """Compute ops: channel simulation, modulation, bit packing, BP decoders,
 Pallas kernels."""
-from . import bitflip, bp, bp_edgelist, channel, golden, modulation, packing
+from . import (bitflip, bp, bp_edgelist, channel, golden, impulse,
+               modulation, packing)
 
-__all__ = ["bitflip", "bp", "bp_edgelist", "channel", "golden", "modulation",
-           "packing"]
+__all__ = ["bitflip", "bp", "bp_edgelist", "channel", "golden", "impulse",
+           "modulation", "packing"]
