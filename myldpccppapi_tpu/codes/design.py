@@ -281,24 +281,42 @@ def optimize_dvbs2_profile(
         s = np.full(pg.shape[1], 8.0 * rate_f * 10.0 ** (ebn0 / 10.0))
         return pexit_run(pg, s).converged
 
+    def resample_column(cand, g, deg):
+        """Re-place column g with ``deg`` edges over distinct random rows
+        (multiplicity 1 — maximally diverse)."""
+        cand[:, g] = 0
+        rows = rng.choice(q, size=min(int(deg), q), replace=False)
+        cand[rows, g] = 1
+
     thr = thr_of(bi, -3.0, 10.0)
     for step in range(steps):
         cand = bi.copy()
         kind = rng.random()
-        # sample the SOURCE from the nonzero cells (uniform over cells is
-        # hopeless on large sparse profiles: 450 edges in a 90x90 grid hit
-        # a nonzero source 5% of the time and the search stalls)
-        nz_l, nz_g = np.nonzero(cand)
-        e = int(rng.integers(0, len(nz_l)))
-        l1, g1 = int(nz_l[e]), int(nz_g[e])
-        l2, g2 = int(rng.integers(0, q)), int(rng.integers(0, kb))
-        if kind < 0.7:                     # relocate one unit
-            cand[l1, g1] -= 1
-            cand[l2, g2] += 1
-        elif kind < 0.85:                  # add
-            cand[l2, g2] += 1
-        else:                              # drop
-            cand[l1, g1] -= 1
+        if kind < 0.25:
+            # COLUMN move: shift one unit of degree between two columns
+            # and re-place both — escapes local optima where single-unit
+            # relocations are all rejected (the 64800 r1/2 plateau)
+            g1, g2 = rng.choice(kb, size=2, replace=False)
+            d1 = int(cand[:, g1].sum()) + 1
+            d2 = int(cand[:, g2].sum()) - 1
+            resample_column(cand, int(g1), d1)
+            resample_column(cand, int(g2), d2)
+        else:
+            # sample the SOURCE from the nonzero cells (uniform over cells
+            # is hopeless on large sparse profiles: 450 edges in a 90x90
+            # grid hit a nonzero source 5% of the time and the search
+            # stalls)
+            nz_l, nz_g = np.nonzero(cand)
+            e = int(rng.integers(0, len(nz_l)))
+            l1, g1 = int(nz_l[e]), int(nz_g[e])
+            l2, g2 = int(rng.integers(0, q)), int(rng.integers(0, kb))
+            if kind < 0.7:                 # relocate one unit
+                cand[l1, g1] -= 1
+                cand[l2, g2] += 1
+            elif kind < 0.85:              # add
+                cand[l2, g2] += 1
+            else:                          # drop
+                cand[l1, g1] -= 1
         if not _dvbs2_valid(cand, edge_cap, min_degree):
             continue
         if converges(cand, thr - tol_db):
