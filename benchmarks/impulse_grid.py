@@ -36,7 +36,7 @@ def main():
         ("dvbs2_16200_1/2", dvbs2(16200, "1/2")),
         ("dvbs2_16200_1/3", dvbs2(16200, "1/3")),
         ("dvbs2_64800_1/2", dvbs2(64800, "1/2")),
-        ("rs_ldpc_2048", rs_ldpc(s=5)),
+        ("rs_ldpc_2048", rs_ldpc(s=6)),
     ]
     for name, code in cases:
         r = impulse_probe(code, max_pair_patterns=2048)

@@ -52,8 +52,11 @@ def save_weights(name, lw):
     print(f"saved {path}", flush=True)
 
 
-def _eval_batches(code, u, cw, decode, snr_db, n_draws, batch, seed0=100):
-    """Decode ``n_draws`` fresh noise draws; return aggregated stats."""
+def _eval_batches(code, u, cw, decode, snr_db, n_draws, batch, seed0=100,
+                  budget=40):
+    """Decode ``n_draws`` fresh noise draws; return aggregated stats.
+    ``budget`` = the decode's max_iters (the at_cap stat counts frames
+    that burned the whole budget)."""
     sigma = 10 ** (-snr_db / 20)
     sym = jax.device_put(jnp.asarray(1.0 - 2.0 * cw.astype(np.float32)))
     u_dev = jax.device_put(jnp.asarray(u, jnp.int8))
@@ -66,7 +69,7 @@ def _eval_batches(code, u, cw, decode, snr_db, n_draws, batch, seed0=100):
         ferr = jnp.any(res.bits[:, : code.k].astype(jnp.int8) != u_dev,
                        axis=-1)
         return (jnp.sum(res.iterations), jnp.sum(res.converged),
-                jnp.sum(ferr), jnp.sum(res.iterations >= 39))
+                jnp.sum(ferr), jnp.sum(res.iterations >= budget - 1))
 
     out = run(jax.random.PRNGKey(seed0 - 1))
     jax.block_until_ready(out)  # warm/compile (not timed)
@@ -147,7 +150,7 @@ def fer():
             else:
                 dec = lambda llr, c=cfg: decode_qc(code, c, llr)
             stats = _eval_batches(code, u, cw, dec, snr_db=snr_db,
-                                  n_draws=8, batch=batch)
+                                  n_draws=8, batch=batch, budget=10)
             record({"config": "learned_nms_fer", "setting": name,
                     "snr_db": snr_db, "budget": 10,
                     "train_s": round(train_s, 1), **stats})
@@ -196,7 +199,7 @@ def bg2():
             stats = _eval_batches(
                 code, u, cw,
                 lambda llr, c=cfg: decode_qc_zlane(code, c, llr),
-                snr_db=snr_db, n_draws=8, batch=batch,
+                snr_db=snr_db, n_draws=8, batch=batch, budget=8,
             )
             record({"config": "learned_nms_bg2", "setting": name,
                     "snr_db": snr_db, "budget": 8,

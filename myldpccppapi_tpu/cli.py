@@ -62,12 +62,12 @@ def _make_code(args):
         return dvbs2(args.n, args.rate)
     if args.family == "rs_ldpc":
         # 802.3an-class RS-based LDPC: n = 32 * 2^s (2048 = the standard's)
-        from .codes import rs_ldpc
+        from .codes.rs_ldpc import rs_ldpc_from_n
 
-        q, s = args.n // 32, (args.n // 32).bit_length() - 1
-        if args.n != 32 * (1 << s):
-            raise SystemExit("rs_ldpc needs n = 32 * 2^s (e.g. 2048)")
-        return rs_ldpc(s=s)
+        try:
+            return rs_ldpc_from_n(args.n)
+        except ValueError as e:
+            raise SystemExit(str(e))
     raise SystemExit(f"unknown family {args.family}")
 
 
@@ -245,7 +245,9 @@ def cmd_waterfall(args) -> int:
 
 def cmd_threshold(args) -> int:
     """PEXIT decoding threshold of a code family (host-side analysis)."""
-    from .codes.pexit import protograph, threshold_ebn0, threshold_sigma
+    import math
+
+    from .codes.pexit import protograph, threshold_ebn0
 
     code = _make_code(args)
     thr = threshold_ebn0(code)
@@ -254,7 +256,11 @@ def cmd_threshold(args) -> int:
     print(f"code={code.name} rate_tx={rate:.4f} "
           f"edges={int(protograph(code).sum())}")
     print(f"threshold_ebn0_db={thr:.3f}")
-    print(f"threshold_sigma={threshold_sigma(code):.4f}")
+    # sigma* derives from thr in closed form — do not pay a second
+    # bisection (threshold_sigma re-runs the whole search)
+    sigma = (0.0 if not math.isfinite(thr)
+             else 1.0 / math.sqrt(2.0 * rate * 10.0 ** (thr / 10.0)))
+    print(f"threshold_sigma={sigma:.4f}")
     return 0
 
 

@@ -90,14 +90,17 @@ def make_codec(family: str, n: int | None = None, rate: str = "1/2", *,
         return Coder(code=code, max_iters=max_iters, crc=crc,
                      encoders=(enc_np, ira_encode_fn(code)))
     if family == "rs_ldpc":
-        from .codes.rs_ldpc import rs_ldpc
+        from .codes.rs_ldpc import rs_ldpc_from_n
 
-        n = n or 2048
-        q = n // 32
-        s = q.bit_length() - 1
-        if n != 32 * (1 << s):
-            raise ValueError("rs_ldpc needs n = 32 * 2^s (e.g. 2048)")
-        return Coder(code=rs_ldpc(s=s), max_iters=max_iters, crc=crc)
+        if rate != "1/2":
+            # the construction fixes the rate (0.841 for n=2048): a caller
+            # asking for a specific rate must not silently get another
+            raise ValueError(
+                "rs_ldpc's rate is fixed by the (gamma, rho) construction "
+                "(0.841 at n=2048); omit rate"
+            )
+        return Coder(code=rs_ldpc_from_n(n or 2048), max_iters=max_iters,
+                     crc=crc)
     raise ValueError(
         f"unknown family {family!r}; choose from wimax, wifi, regular, nr, "
         "dvbs2, rs_ldpc"

@@ -249,6 +249,9 @@ def optimize_dvbs2_profile(
     Returns (bi [q, kb], threshold_ebn0_db).
     """
     k, m, kb, q, z = _dvbs2_dims(n, rate)
+    # the diversity rule (>= 3 distinct row classes/group) is unsatisfiable
+    # below degree 3 — a smaller floor would spin the sanitizer forever
+    min_degree = max(int(min_degree), 3)
     rng = np.random.default_rng(seed)
     bi = (start if start is not None else dvbs2_start_profile(n, rate)).copy()
     edge_cap = int(bi.sum()) + edge_slack

@@ -193,8 +193,11 @@ def nr_base_graph(bg: int = 1, zmax: int = NR_ZMAX,
             raise ValueError(f"unknown support {support!r}")
         support = None
     if seed is None:
-        seed = (_DESIGNED_SHIFT_SEED if support is not None
-                else _DEFAULT_TABLE_SEED)[bg]
+        # explicit/designed supports use the measured designed shift seed
+        # where one exists, else the legacy default (e.g. a fresh BG1
+        # design from optimize_nr_support has no designed seed yet)
+        seed = (_DESIGNED_SHIFT_SEED.get(bg, _DEFAULT_TABLE_SEED[bg])
+                if support is not None else _DEFAULT_TABLE_SEED[bg])
     rng = np.random.default_rng(38212 + bg + 7919 * seed)
     # -1 = zero block, -2 = present (shift chosen girth-aware below)
     base = np.full((m_b, n_b), -1, dtype=np.int32)

@@ -35,7 +35,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["RSLDPCCode", "rs_ldpc", "gf2m_tables"]
+__all__ = ["RSLDPCCode", "rs_ldpc", "rs_ldpc_from_n", "gf2m_tables"]
 
 #: Default primitive polynomials (low-term coefficient mask including the
 #: constant; the x^s term is implicit), indexed by s.
@@ -226,3 +226,15 @@ def rs_ldpc(s: int = 6, gamma: int = 6, rho: int = 32,
         for j, x in enumerate(points):
             shifts[i, j] = 0 if x == 0 else int(exp[log[b] + log[x]])
     return RSLDPCCode(name=f"rs_ldpc_gf{q}_{gamma}x{rho}", s=s, shifts=shifts)
+
+
+def rs_ldpc_from_n(n: int) -> RSLDPCCode:
+    """The default (6, 32)-regular code of blocklength ``n = 32 * 2^s``
+    (n=2048 is the 802.3an-class (2048, 1723) code).  One shared
+    validation for every n-keyed entry point (CLI, make_codec,
+    benchmarks)."""
+    q = n // 32
+    s = q.bit_length() - 1
+    if n != 32 * (1 << s):
+        raise ValueError(f"rs_ldpc needs n = 32 * 2^s (e.g. 2048), got {n}")
+    return rs_ldpc(s=s)

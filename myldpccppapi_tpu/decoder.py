@@ -40,8 +40,12 @@ def _implementation(cfg: DecoderConfig, code) -> str:
             platform = "cpu"
         if platform == "tpu":
             from .ops import pallas_bp
+            from .ops.bp import weights_mode
 
-            if pallas_bp.supported(code):
+            if (weights_mode(cfg, code.m_b) != "iter"
+                    and pallas_bp.supported(code)):
+                # per-iteration (learned) schedules live on the jnp path,
+                # same as the cyclic branch below
                 return "pallas"
         return "jnp"
     if cfg.soft_output:

@@ -68,7 +68,11 @@ def stream_supported(code: QCCode, cfg: DecoderConfig) -> bool:
     slots of one layer the same posterior column whose writeback DMAs
     race.  The z-lane kernel (pallas_zlane) handles both; this fallback
     refuses rather than silently decoding the wrong matrix."""
-    if code.extra_blocks is not None or getattr(code, "masked_rows", None):
+    if getattr(code, "group", "cyclic") != "cyclic":
+        # XOR-group (RS-LDPC) blocks: this kernel's lane rotations are
+        # CYCLIC — running it would silently decode a different H
+        return False
+    if getattr(code, "extra_blocks", None) is not None or getattr(code, "masked_rows", None):
         return False
     if not isinstance(cfg.normalization, (int, float)) or not isinstance(
         cfg.offset, (int, float)

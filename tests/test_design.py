@@ -148,3 +148,19 @@ def test_designed_dvbs2_defaults():
             residues = [a % q for a in addrs]
             assert len(set(residues)) >= 3, (n, rate, g)
             assert max(residues.count(r) for r in set(residues)) <= 2
+
+
+def test_bg1_explicit_support_lifts_without_designed_seed():
+    # regression: _DESIGNED_SHIFT_SEED has no BG1 entry; an explicit
+    # support lift must fall back to the legacy default seed
+    tab = nr_base_graph(1, support=nr_support_default(1))
+    assert tab.shape == (46, 68)
+
+
+def test_dvbs2_min_degree_below_three_is_clamped():
+    # min_degree < 3 is unsatisfiable under the diversity rule; the
+    # optimizer must clamp instead of spinning in the sanitizer
+    from myldpccppapi_tpu.codes.design import optimize_dvbs2_profile
+
+    bi, thr = optimize_dvbs2_profile(16200, "1/2", steps=1, min_degree=2)
+    assert bi.sum(axis=0).min() >= 3

@@ -161,3 +161,43 @@ def test_validation_errors():
     with pytest.raises(ValueError):
         rs_ldpc(s=4, gamma=4, rho=8,
                 points=np.array([1, 1, 2, 3, 4, 5, 6, 7]))
+
+
+# ---------------------------------------------------------------------------
+# round-4 review regressions
+# ---------------------------------------------------------------------------
+
+def test_rs_ldpc_from_n_validates():
+    from myldpccppapi_tpu.codes.rs_ldpc import rs_ldpc_from_n
+
+    code = rs_ldpc_from_n(2048)
+    assert (code.n, code.k_info) == (2048, 1723)
+    with pytest.raises(ValueError, match="32"):
+        rs_ldpc_from_n(2000)
+
+
+def test_make_codec_rs_ldpc_rejects_explicit_rate():
+    from myldpccppapi_tpu import make_codec
+
+    with pytest.raises(ValueError, match="fixed"):
+        make_codec("rs_ldpc", 2048, "1/3")
+
+
+def test_xor_code_iter_weights_dispatch_to_jnp():
+    # per-iteration learned schedules have no fused-kernel serving; the
+    # xor dispatch branch must route them to jnp like the cyclic branch
+    from myldpccppapi_tpu.decoder import _implementation
+    from myldpccppapi_tpu.utils.config import DecoderConfig
+
+    code = rs_ldpc(s=4, gamma=4, rho=8)
+    cfg = DecoderConfig(normalization=((0.7,) * 4, (0.8,) * 4))
+    assert _implementation(cfg, code) == "jnp"
+
+
+def test_explicit_stream_kernel_refuses_xor_codes_loudly():
+    from myldpccppapi_tpu import Decoder
+    from myldpccppapi_tpu.utils.config import DecoderConfig
+
+    code = rs_ldpc(s=4, gamma=4, rho=8)
+    with pytest.raises(ValueError, match="pallas_stream"):
+        Decoder(code, DecoderConfig(implementation="pallas_stream"))
