@@ -306,6 +306,23 @@ def cmd_design(args) -> int:
     raise SystemExit(f"design supports families nr, dvbs2 (got {args.family})")
 
 
+def cmd_probe(args) -> int:
+    """Error-impulse floor probe: d_min bound + trapped-set fingerprint."""
+    from .ops.impulse import impulse_probe
+
+    code = _make_code(args)
+    r = impulse_probe(code, amplitude=args.amplitude,
+                      max_pair_patterns=args.max_pairs)
+    print(f"code={code.name} probes={r.probes} amplitude={args.amplitude}")
+    if r.min_weight is not None:
+        print(f"min_weight={r.min_weight} "
+              f"support_cols={r.support_cols.tolist()}")
+    else:
+        print("min_weight=none (no impulse broke through to a codeword)")
+    print(f"breaches={r.breaches} trapped={len(r.trapped)}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     # bench.py lives at the repo root, outside the package: resolve it
     # relative to this file so `python -m myldpccppapi_tpu bench` works from
@@ -425,6 +442,22 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--out", default=None,
                    help=".npy (nr support) / text table (dvbs2 addresses)")
     d.set_defaults(fn=cmd_design)
+
+    pr = sub.add_parser(
+        "probe",
+        help="error-impulse floor probe (d_min bound, trapped-set "
+             "fingerprint) on the production decode path"
+    )
+    pr.add_argument("--family", default="wimax",
+                    choices=["wimax", "wifi", "regular", "nr", "dvbs2",
+                             "rs_ldpc"])
+    pr.add_argument("--n", type=int, default=576)
+    pr.add_argument("--rate", default="1/2")
+    pr.add_argument("--z", type=int, default=384, help="NR lifting size")
+    pr.add_argument("--bg", type=int, default=1, help="NR base graph")
+    pr.add_argument("--amplitude", type=float, default=8.0)
+    pr.add_argument("--max-pairs", type=int, default=2048)
+    pr.set_defaults(fn=cmd_probe)
     return p
 
 

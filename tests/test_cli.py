@@ -106,3 +106,11 @@ def test_design_subcommand(tmp_path, capsys):
 
     code = dvbs2(16200, "1/2", addresses=parse_address_table(out.read_text()))
     assert code.n == 16200
+
+
+def test_probe_subcommand(capsys):
+    rc = main(["probe", "--family", "wimax", "--n", "576", "--rate", "1/2",
+               "--max-pairs", "64"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "breaches=" in out and "probes=" in out
