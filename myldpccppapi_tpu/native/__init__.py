@@ -16,7 +16,8 @@ import numpy as np
 
 __all__ = ["load", "available", "pack_bits", "unpack_bits", "rref_packed",
            "inv_packed", "matmul_packed", "pack_rows", "unpack_rows",
-           "decode_golden_native"]
+           "decode_golden_native", "decode_golden_layered_native",
+           "decode_golden_sp_ref_native"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libmyldpc_native.so")
@@ -66,6 +67,14 @@ def load() -> Optional[ctypes.CDLL]:
     lib.decode_golden_minsum.argtypes = [
         i64p, i32p, i64, i64, i64, f32p, i64, ctypes.c_int32,
         ctypes.c_float, ctypes.c_float, u8p, u8p, i32p,
+    ]
+    lib.decode_golden_layered.argtypes = [
+        i64p, i32p, i32p, i64p, i64, i64, i64, i64, f32p, i64,
+        ctypes.c_int32, ctypes.c_float, ctypes.c_float, u8p, u8p, i32p,
+    ]
+    lib.decode_golden_sp_ref.argtypes = [
+        i64p, i32p, i64p, i32p, i64, i64, i64, f32p, i64,
+        ctypes.c_int32, ctypes.c_float, u8p, u8p, i32p,
     ]
     _LIB = lib
     return lib
@@ -180,6 +189,119 @@ def decode_golden_native(code, llr: np.ndarray, max_iters: int = 40,
     lib.decode_golden_minsum(
         row_ptr, cols32, m, n, len(cols32), llr.reshape(-1), b,
         np.int32(max_iters), np.float32(normalization), np.float32(offset),
+        bits.reshape(-1), conv, iters,
+    )
+    return bits, conv.astype(bool), iters
+
+
+_LAYERED_PLANS: dict = {}
+
+
+def _layered_plan(code):
+    """Edge-order plan for the layered golden, matching ops/bp.py exactly.
+
+    Enumerates the code's edges in (layer, block entry, check row) order —
+    bp.py's writeback order — then stable-sorts by global check row to get
+    the CSR the check update walks (within a row, stable sort preserves
+    block-entry order, so min-tie-breaking matches ``jnp.argmin``).
+    Returns (row_ptr int64[m+1], cols int32[E], wb_perm int32[E],
+    layer_row_ptr int64[m_b+1]).
+    """
+    key = id(code)
+    hit = _LAYERED_PLANS.get(key)
+    if hit is not None:
+        return hit
+    br, bc, sh = code.blocks
+    masks = code.block_row_masks
+    ptr = np.asarray(code.layer_ptr)
+    z = code.z
+    rows_en, cols_en = [], []
+    for li in range(code.m_b):
+        for e in range(int(ptr[li]), int(ptr[li + 1])):
+            r = np.arange(z)
+            if masks[e] is not None:
+                r = r[np.asarray(masks[e])]
+            rows_en.append(li * z + r)
+            cols_en.append(int(bc[e]) * z + (r + int(sh[e])) % z)
+    rows_en = np.concatenate(rows_en).astype(np.int64)
+    cols_en = np.concatenate(cols_en).astype(np.int64)
+    order = np.argsort(rows_en, kind="stable")
+    inv = np.empty(len(order), np.int64)
+    inv[order] = np.arange(len(order))
+    row_ptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(rows_en, minlength=code.m))]
+    ).astype(np.int64)
+    plan = (
+        row_ptr,
+        np.ascontiguousarray(cols_en[order], np.int32),
+        np.ascontiguousarray(inv, np.int32),
+        (np.arange(code.m_b + 1, dtype=np.int64) * z),
+    )
+    _LAYERED_PLANS[key] = plan
+    return plan
+
+
+def decode_golden_layered_native(code, llr: np.ndarray, max_iters: int = 40,
+                                 normalization: float = 1.0,
+                                 offset: float = 0.0):
+    """C++ layered (TDMP) min-sum golden decode — the independent native pin
+    for the framework's layered schedule (same layer order and
+    delta-writeback expression as ops/bp.py::decode_layered, bit-exact in
+    f32).  Returns (bits [B, n] uint8, converged [B] bool, iters [B] int32),
+    or None if the native library is unavailable.  QC codes only (layers are
+    base rows)."""
+    lib = load()
+    if lib is None or not hasattr(code, "blocks"):
+        return None
+    row_ptr, cols, wb_perm, layer_row_ptr = _layered_plan(code)
+    llr = np.ascontiguousarray(np.atleast_2d(llr), dtype=np.float32)
+    b = llr.shape[0]
+    n = code.n
+    bits = np.empty((b, n), np.uint8)
+    conv = np.empty(b, np.uint8)
+    iters = np.empty(b, np.int32)
+    lib.decode_golden_layered(
+        row_ptr, cols, wb_perm, layer_row_ptr, code.m_b, code.m, n,
+        len(cols), llr.reshape(-1), b, np.int32(max_iters),
+        np.float32(normalization), np.float32(offset),
+        bits.reshape(-1), conv, iters,
+    )
+    return bits, conv.astype(bool), iters
+
+
+def decode_golden_sp_ref_native(code, llr: np.ndarray, max_iters: int = 40,
+                                scale: float = 8.0):
+    """C++ probability-domain flooding sum-product with the REFERENCE's
+    exact arithmetic and channel quirk (``exp(scale * y)`` init with scale
+    defaulting to the hardcoded 8 = 2/sigma^2 of ``decodeCL.c:9``) — the
+    parity baseline for the reference's SP path (``decodeCL.c:3-108``,
+    ``MyLdpc.cpp:977-1059``).  Returns (bits, converged, iters) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    rows, cols = code.h_coo()
+    order = np.argsort(rows, kind="stable")
+    rows, cols = rows[order], cols[order]
+    m, n = code.m, code.n
+    row_ptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(rows, minlength=m))]
+    ).astype(np.int64)
+    # column adjacency in the reference's linked-list order: edges appended
+    # row-major (MyLdpc.cpp:188-220), i.e. ascending edge index per column
+    col_order = np.argsort(cols, kind="stable")
+    col_ptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(cols, minlength=n))]
+    ).astype(np.int64)
+    col_edges = np.ascontiguousarray(col_order, np.int32)
+    cols32 = np.ascontiguousarray(cols, dtype=np.int32)
+    llr = np.ascontiguousarray(np.atleast_2d(llr), dtype=np.float32)
+    b = llr.shape[0]
+    bits = np.empty((b, n), np.uint8)
+    conv = np.empty(b, np.uint8)
+    iters = np.empty(b, np.int32)
+    lib.decode_golden_sp_ref(
+        row_ptr, cols32, col_ptr, col_edges, m, n, len(cols32),
+        llr.reshape(-1), b, np.int32(max_iters), np.float32(scale),
         bits.reshape(-1), conv, iters,
     )
     return bits, conv.astype(bool), iters
