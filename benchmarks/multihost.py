@@ -154,6 +154,39 @@ def launch(args) -> dict:
         return results
 
     glob_dev = args.nproc * args.local_devices
+    if args.partitions:
+        # Partition matrix: every way of cutting the SAME global mesh into
+        # processes must produce bit-identical statistics (the step folds
+        # only GLOBAL mesh position into the PRNG key).  "1x8,2x4,4x2"
+        # runs all three and cross-checks.
+        parts = []
+        for spec in args.partitions.split(","):
+            np_, ld = (int(x) for x in spec.lower().split("x"))
+            if np_ * ld != glob_dev:
+                raise SystemExit(
+                    f"partition {spec} has {np_ * ld} devices, expected "
+                    f"{glob_dev} (=nproc*local_devices)")
+            parts.append((spec, np_, ld))
+        runs = {spec: run_procs(np_, ld) for spec, np_, ld in parts}
+        base_spec = parts[0][0]
+        base_stats = runs[base_spec][0]["stats_last_step"]
+        matrix_identical = {
+            spec: all(r["stats_last_step"] == base_stats for r in rs)
+            for spec, rs in runs.items()
+        }
+        report = {
+            "harness": "multiprocess_gloo_matrix",
+            "global_devices": glob_dev,
+            "partitions": list(matrix_identical),
+            "stats_bit_identical_across_partitions": all(
+                matrix_identical.values()),
+            "per_partition_identical": matrix_identical,
+            "step_s": {spec: max(r["step_s"] for r in rs)
+                       for spec, rs in runs.items()},
+            "frames_per_step": runs[base_spec][0]["frames_per_step"],
+        }
+        print(json.dumps(report))
+        return report
     t0 = time.time()
     multi = run_procs(args.nproc, args.local_devices)
     multi_wall = time.time() - t0
@@ -202,11 +235,17 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--timeout", type=float, default=600.0)
+    ap.add_argument("--partitions", default="",
+                    help='partition matrix over ONE global device count, '
+                         'e.g. "1x8,2x4,4x2" (nproc x local_devices); all '
+                         'must be bit-identical')
     args = ap.parse_args(argv)
     if args.worker:
         worker(args)
     else:
         report = launch(args)
+        if "stats_bit_identical_across_partitions" in report:
+            return 0 if report["stats_bit_identical_across_partitions"] else 1
         return 0 if (report["stats_bit_identical_to_single_process"]
                      and report["all_ranks_agree"]) else 1
     return 0

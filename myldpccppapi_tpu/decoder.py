@@ -49,8 +49,22 @@ def _implementation(cfg: DecoderConfig, code) -> str:
                 return "pallas"
         return "jnp"
     if cfg.soft_output:
-        # posterior-LLR output lives on the jnp path (the fused kernels
-        # keep their VMEM budget for decode state)
+        # posterior-LLR output: the z-lane kernel already holds the
+        # posterior in VMEM and latches it at convergence, so long codes
+        # (NR Z>=64, DVB-S2) serve soft output AT KERNEL RATE; the
+        # short-code kernels keep their VMEM budget for decode state -> jnp
+        try:
+            platform = jax.devices()[0].platform
+        except RuntimeError:
+            platform = "cpu"
+        if platform == "tpu":
+            from .ops import pallas_zlane
+            from .ops.bp import weights_mode
+
+            if (weights_mode(cfg, code.m_b) != "iter"
+                    and cfg.triage_iters == 0
+                    and pallas_zlane.zlane_supported(code, cfg)):
+                return "pallas_zlane"
         return "jnp"
     # Fused Pallas kernels on TPU when the code's working set fits VMEM;
     # the jnp/XLA path is the portable fallback (CPU tests, interpreters).
@@ -125,12 +139,11 @@ class Decoder:
         self.code = code
         self.config = config
         impl = _implementation(config, code)
-        if config.soft_output and impl in (
-            "pallas", "pallas_zlane", "pallas_stream"
-        ):
+        if config.soft_output and impl in ("pallas", "pallas_stream"):
             raise ValueError(
-                "soft_output is served by the jnp/edge-list paths; use "
-                'implementation="auto" (routes to jnp) or "jnp"'
+                "soft_output is served by the jnp/edge-list paths and the "
+                "z-lane kernel (long codes); use implementation=\"auto\", "
+                '"jnp", or "pallas_zlane"'
             )
         if config.soft_output and config.triage_iters > 0:
             raise ValueError(

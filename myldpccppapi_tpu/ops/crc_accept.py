@@ -65,6 +65,7 @@ def decode_with_crc_accept(
             iterations=res1.iterations,
             total_iters=res1.total_iters,
             accepted=ok1,
+            posteriors=res1.posteriors,
         )
 
     def retry(_):
@@ -82,12 +83,20 @@ def decode_with_crc_accept(
             jnp.where(take, res2.iterations, res1.iterations[sel])
         )
         accepted = ok1.at[sel].set(jnp.where(take, res2.accepted, ok1[sel]))
+        posteriors = res1.posteriors
+        if posteriors is not None:
+            posteriors = posteriors.at[sel].set(
+                jnp.where(take[:, None],
+                          res2.posteriors.astype(posteriors.dtype),
+                          posteriors[sel])
+            )
         return DecodeResult(
             bits=bits,
             converged=converged,
             iterations=iterations,
             total_iters=jnp.maximum(res1.total_iters, res2.total_iters),
             accepted=accepted,
+            posteriors=posteriors,
         )
 
     def fallback(_):

@@ -117,7 +117,8 @@ def zlane_vmem_bytes(code: QCCode, cfg: DecoderConfig, bt=None,
     """Kernel working-set estimate: posterior + messages (storage dtype) +
     bits out x2 (int8, double-buffered by the pipeline) + the widest
     layer's live f32 edge tiles (row-aligned q list and new check
-    messages, co-live before writeback)."""
+    messages, co-live before writeback) + (soft_output) the posterior
+    output block x2 in the storage dtype."""
     zp = _pad_z(code.z)
     if itemsize is None:
         itemsize = 2 if cfg.msg_dtype == "bfloat16" else 4
@@ -125,6 +126,8 @@ def zlane_vmem_bytes(code: QCCode, cfg: DecoderConfig, bt=None,
         bt = _batch_tile(code, cfg)
     state = (code.n_b + code.num_blocks) * bt * zp * itemsize
     bits_out = 2 * code.n_b * bt * zp
+    if cfg.soft_output:
+        bits_out += 2 * code.n_b * bt * zp * itemsize
     widest = int(np.diff(np.asarray(code.layer_ptr)).max())
     stack = 2 * widest * bt * zp * 4
     if cfg.syndrome_mode == "lazy":
@@ -225,8 +228,14 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int, dtype):
             m = jnp.logical_and(m, lane != int(r))
         return m
 
+    soft = cfg.soft_output
+
     def kernel(chan_hbm, bits_ref, conv_ref, iters_ref, texec_ref,
-               p_scr, r_scr, done_scr, sem):
+               *post_and_scratch):
+        if soft:
+            post_ref, p_scr, r_scr, done_scr, sem = post_and_scratch
+        else:
+            p_scr, r_scr, done_scr, sem = post_and_scratch
         off = pl.program_id(0) * bt
         # ---- init: DMA channel LLRs into the posterior, pre-roll each
         # column block to its steady-state alignment
@@ -352,12 +361,19 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int, dtype):
         )
         conv_ref[:] = (done_scr[:] > 0.0).astype(jnp.int8)
         texec_ref[:] = jnp.full_like(texec_ref, t_end)
-        # final hard decisions, rolled back to canonical column alignment
+        # final hard decisions, rolled back to canonical column alignment.
+        # The early-exit freeze (delta * live) means p_scr holds each
+        # converged frame's posterior AT ITS CONVERGENCE SWEEP — exactly the
+        # jnp path's per-frame latched post_out — so the soft output is one
+        # extra store per block, sharing the canonical roll with the bits
+        # (the refreshPostPMS analogue, decodeCL.c:149-171, at kernel rate).
         for j in range(n_b):
             a = align0.get(j, 0)
             p32 = p_scr[j].astype(f32)
             c = _rel_roll(p32, (z - a) % z, z, zp) if a else p32
             bits_ref[j] = (c <= 0.0).astype(jnp.int8)
+            if soft:
+                post_ref[j] = c.astype(dtype)
 
     return kernel
 
@@ -385,25 +401,29 @@ def decode_qc_zlane(code: QCCode, cfg: DecoderConfig, llr: jax.Array,
         chan = jnp.pad(chan, ((0, 0), (0, 0), (0, zp - z)),
                        constant_values=_PAD_LLR)
     grid = (bp_ // bt,)
-    out_shape = (
+    out_shape = [
         jax.ShapeDtypeStruct((n_b, bp_, zp), jnp.int8),  # bits (canonical)
         jax.ShapeDtypeStruct((bp_, 1), jnp.int8),         # converged
         jax.ShapeDtypeStruct((bp_, 1), jnp.int32),        # iterations
         jax.ShapeDtypeStruct((bp_, 1), jnp.int32),        # executed per tile
-    )
+    ]
     kernel = _build_kernel(code, cfg, bt, dtype)
     scalar_spec = pl.BlockSpec((bt, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
-    bits, conv, iters, texec = pl.pallas_call(
+    block_spec = pl.BlockSpec((n_b, bt, zp), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    out_specs = [block_spec, scalar_spec, scalar_spec, scalar_spec]
+    if cfg.soft_output:
+        # posterior LLRs, canonical alignment, latched at convergence like
+        # the bits (storage dtype)
+        out_shape.append(jax.ShapeDtypeStruct((n_b, bp_, zp), dtype))
+        out_specs.append(block_spec)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # chan stays in HBM
-        out_specs=(
-            pl.BlockSpec((n_b, bt, zp), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            scalar_spec, scalar_spec, scalar_spec,
-        ),
-        out_shape=out_shape,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((n_b, bt, zp), dtype),              # posterior
             pltpu.VMEM((code.num_blocks, bt, zp), dtype),  # R messages
@@ -418,10 +438,15 @@ def decode_qc_zlane(code: QCCode, cfg: DecoderConfig, llr: jax.Array,
         ),
         interpret=interpret,
     )(chan)
+    bits, conv, iters, texec = outs[:4]
     bits_bn = bits[:, :b, :z].transpose(1, 0, 2).reshape(b, n_b * z)
+    posteriors = None
+    if cfg.soft_output:
+        posteriors = outs[4][:, :b, :z].transpose(1, 0, 2).reshape(b, n_b * z)
     return DecodeResult(
         bits=bits_bn.astype(jnp.uint8),
         converged=conv[:b, 0] > 0,
         iterations=iters[:b, 0],
         total_iters=jnp.max(texec[:, 0]),
+        posteriors=posteriors,
     )

@@ -147,3 +147,33 @@ def test_coder_crc_rejects_forged_codeword():
                               return_stats=True)
     assert not stats["accepted"].any()
     assert stats["crc_rejected"] == 1  # syndrome converged, CRC caught it
+
+
+def test_mscl_long_code_routes_to_fused_layered(monkeypatch):
+    """MSCL names the reference's FUSED decoder (MyLdpc.h:37-39); on codes
+    beyond the flooding kernel's n ~ 6000 cap it must land on a fused
+    LAYERED kernel with a warning — not silently on ~70x-slower jnp
+    flooding (VERDICT r4 weak #5)."""
+    import myldpccppapi_tpu.coder as coder_mod
+    from myldpccppapi_tpu.coder import make_codec
+
+    class _FakeTpu:
+        platform = "tpu"
+
+    monkeypatch.setattr(coder_mod.jax, "devices", lambda: [_FakeTpu()])
+    coder = make_codec("dvbs2", 16200, "1/2")
+    coder.for_decoder(64)
+    with pytest.warns(UserWarning, match="LAYERED"):
+        coder.add_decode_type("MSCL")
+    dec = coder._decoders["MSCL"]
+    assert dec.config.schedule == "layered"
+    assert dec.config.max_iters == 120  # the reference MSCL cap stays
+    assert dec.implementation in ("pallas_zlane", "pallas_stream")
+
+    # short codes keep exact flooding semantics on the flooding kernel
+    coder2 = Coder(432, 576, "3/4B")
+    coder2.for_decoder(64)
+    coder2.add_decode_type("MSCL")
+    dec2 = coder2._decoders["MSCL"]
+    assert dec2.config.schedule == "flooding"
+    assert dec2.implementation == "pallas"

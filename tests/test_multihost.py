@@ -33,3 +33,23 @@ def test_two_process_campaign_bit_identical_to_single():
     assert report["stats_bit_identical_to_single_process"] is True
     assert report["all_ranks_agree"] is True
     assert report["global_devices"] == 4
+
+
+@pytest.mark.slow
+def test_four_process_partition_matrix_bit_identical():
+    """The 4-process partition matrix (VERDICT r4 item 4): one 8-device
+    global mesh cut as 1x8 / 2x4 / 4x2 processes must produce bit-identical
+    campaign statistics — the step's PRNG depends only on GLOBAL mesh
+    position, so process boundaries (and the Gloo/TCP psum they force)
+    must be invisible in the numbers."""
+    out = subprocess.run(
+        [sys.executable, SCRIPT, "--nproc", "4", "--local-devices", "2",
+         "--partitions", "1x8,2x4,4x2",
+         "--batch-per-device", "4", "--snr", "4.0", "--repeats", "1",
+         "--max-iters", "8", "--timeout", "420"],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    report = json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["stats_bit_identical_across_partitions"] is True
+    assert sorted(report["partitions"]) == ["1x8", "2x4", "4x2"]
