@@ -210,7 +210,15 @@ def sweep_tile_ops(code, cfg):
 # 3. decode per-sweep time at a non-converging SNR
 # --------------------------------------------------------------------------
 
-def decode_sweep_time(code, encode, batch, norm):
+def decode_sweep_time(code, encode, batch, norm, snr_db=-2.0,
+                      early_exit=True):
+    """``snr_db`` must sit BELOW the code's threshold so no frame converges
+    within the iteration budgets (else the hi-budget decode exits early and
+    the two-budget difference under-counts sweeps — observed on the
+    designed BG2, whose cliff at -3 dB made the default -2 dB point
+    converge and the 'roofline' report 5x issue capacity).  For very
+    strong codes pass ``early_exit=False``: the budgets then bind exactly
+    regardless of SNR."""
     import jax
     import jax.numpy as jnp
 
@@ -222,7 +230,7 @@ def decode_sweep_time(code, encode, batch, norm):
     u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
     cw = np.asarray(encode(jnp.asarray(u)))
     sym = jax.device_put(jnp.asarray(1.0 - 2.0 * cw.astype(np.float32)))
-    sigma = 10 ** (2.0 / 20)   # -2 dB: nothing converges, every sweep runs
+    sigma = 10 ** (-snr_db / 20)
 
     @jax.jit
     def make_llr(key):
@@ -236,7 +244,7 @@ def decode_sweep_time(code, encode, batch, norm):
     def run_at(iters):
         cfg = DecoderConfig(schedule="layered", normalization=norm,
                             max_iters=iters, syndrome_mode="lazy",
-                            early_exit=True)
+                            early_exit=early_exit)
 
         @jax.jit
         def one(llr):
@@ -244,11 +252,21 @@ def decode_sweep_time(code, encode, batch, norm):
             return jnp.stack([jnp.sum(res.iterations),
                               jnp.sum(jnp.where(res.converged, 1, 0))])
 
-        return _timed_rounds(one, llrs), cfg
+        return _timed_rounds(one, llrs), cfg, one
 
     lo_iters, hi_iters = 4, 24
-    t_lo, _ = run_at(lo_iters)
-    t_hi, cfg = run_at(hi_iters)
+    t_lo, _, _ = run_at(lo_iters)
+    t_hi, cfg, one_hi = run_at(hi_iters)
+    if early_exit:
+        # the two-budget subtraction requires the budgets to BIND: any
+        # convergence at this SNR under-counts sweeps and inflates the rate
+        conv = int(np.asarray(one_hi(llrs[-1]))[1])
+        if conv:
+            raise RuntimeError(
+                f"{code.name}: {conv}/{batch} frames converge at "
+                f"{snr_db} dB within {hi_iters} iters — pick a lower "
+                "snr_db (or early_exit=False) for a valid sweep isolation"
+            )
     bt = _batch_tile(code, cfg)
     tiles = -(-batch // bt)
     sweeps = N_PIPE * tiles * (hi_iters - lo_iters)
@@ -264,8 +282,10 @@ VREG_ELEMS = 8 * 128       # one f32 vector register tile
 VPU_ISSUE_SLOTS = 4        # vector ALU ops issued per cycle (v5e VPU)
 
 
-def roofline(name, code, encode, batch, norm, calib_ops_per_s, calib_info):
-    t_tile, bt, zp, cfg, info = decode_sweep_time(code, encode, batch, norm)
+def roofline(name, code, encode, batch, norm, calib_ops_per_s, calib_info,
+             snr_db=-2.0):
+    t_tile, bt, zp, cfg, info = decode_sweep_time(code, encode, batch, norm,
+                                                  snr_db=snr_db)
     tile_ops = sweep_tile_ops(code, cfg)
     elem_ops_per_s = tile_ops * bt * zp / t_tile
     edges = code.num_blocks * code.z
@@ -364,6 +384,131 @@ def roofline_shortcode(name, code, batch, norm, calib_ops_per_s):
     return rec
 
 
+def roofline_config1_sp(calib_ops_per_s):
+    """Config-1 weak-row accounting (VERDICT r4 item 9): regular (3,6)
+    n=648, flooding sum-product, batch 64 @2 dB measures ~58 Mbit/s
+    marginal — prove that is the operating point, not the kernel.
+
+    Method: isolate the per-sweep tile time of the SAME kernel/algorithm
+    (fused pallas_bp, SP flooding) at a non-converging SNR, then PREDICT
+    the dispatch slope from the operating point's physics: at FER ~0.75
+    most frames ride to the 40-iteration cap, and with flooding's
+    per-tile early exit each 128-lane tile runs until its LAST frame
+    finishes (~the cap).  predicted slope = tiles x cap x t_sweep_tile;
+    compare against config 1g's (batch 64) and 1x's (batch 2048)
+    measured fits.
+
+    The isolation MUST run multi-tile (batch 2048 = 16 tiles here): when
+    a pipelined dispatch's chip time is below the tunnel's per-dispatch
+    handling cost (~0.5 ms), extra chip work hides inside the host cost
+    and the two-budget subtraction UNDER-counts it — a single-tile
+    first attempt measured 0.945 us/sweep where the true multi-tile
+    number is ~3.4 (both records kept in results.jsonl)."""
+    import jax
+    import jax.numpy as jnp
+
+    from myldpccppapi_tpu.codes import regular
+    from myldpccppapi_tpu.codes.encoder import Encoder, encode_numpy
+    from myldpccppapi_tpu.ops.pallas_bp import (choose_batch_tile,
+                                                decode_qc_pallas)
+    from myldpccppapi_tpu.utils.config import DecoderConfig
+
+    code = regular(648)
+    enc = Encoder(code)
+    batch = 2048
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, 2, size=(batch, enc.k), dtype=np.uint8)
+    cw = encode_numpy(enc.mats, u)
+    sym = jax.device_put(jnp.asarray(1.0 - 2.0 * cw.astype(np.float32)))
+
+    def make_llr_at(snr_db):
+        sigma = 10 ** (-snr_db / 20)
+
+        @jax.jit
+        def make_llr(key):
+            noise = sigma * jax.random.normal(key, sym.shape, jnp.float32)
+            return 2.0 * (sym + noise) / (sigma * sigma)
+
+        return make_llr
+
+    # --- per-sweep isolation at -2 dB (nothing converges) ---------------
+    mk = make_llr_at(-2.0)
+    llrs = [mk(jax.random.PRNGKey(100 + i)) for i in range(N_PIPE * ROUNDS + 1)]
+    jax.block_until_ready(llrs)
+
+    def run_at(iters):
+        cfg = DecoderConfig(algorithm="sum-product", schedule="flooding",
+                            max_iters=iters, early_exit=True)
+
+        @jax.jit
+        def one(llr):
+            res = decode_qc_pallas(code, cfg, llr)
+            return jnp.stack([jnp.sum(res.iterations),
+                              jnp.sum(jnp.where(res.converged, 1, 0))])
+
+        return _timed_rounds(one, llrs), one
+
+    # the budgets must differ by hundreds of tile-sweeps for the
+    # two-budget subtraction to clear the tunnel's ~1 ms round-to-round
+    # noise (a 4-vs-24 contrast on a single tile measured NEGATIVE — the
+    # first attempt, kept in results.jsonl as a methodology lesson)
+    lo_iters, hi_iters = 40, 240
+    t_lo, _ = run_at(lo_iters)
+    t_hi, one_hi = run_at(hi_iters)
+    conv_guard = int(np.asarray(one_hi(llrs[-1]))[1])
+    if conv_guard:
+        raise RuntimeError(f"{conv_guard}/{batch} converged at -2 dB")
+    bt = choose_batch_tile(code)
+    tiles = -(-batch // bt)
+    sweeps = N_PIPE * tiles * (hi_iters - lo_iters)
+    t_tile = (t_hi - t_lo) / sweeps
+
+    # --- operating-point stats at 2 dB (the config-1 point) -------------
+    cfg_op = DecoderConfig(algorithm="sum-product", schedule="flooding")
+    mk2 = make_llr_at(2.0)
+    llrs2 = [mk2(jax.random.PRNGKey(900 + i)) for i in range(N_PIPE + 1)]
+    jax.block_until_ready(llrs2)
+
+    @jax.jit
+    def one_op(llr):
+        res = decode_qc_pallas(code, cfg_op, llr)
+        return jnp.stack([jnp.sum(res.iterations),
+                          jnp.sum(jnp.where(res.converged, 1, 0)),
+                          jnp.max(res.iterations)])
+
+    outs = np.asarray(jnp.stack([one_op(x) for x in llrs2[1:]]))
+    mean_iters = float(outs[:, 0].sum()) / (N_PIPE * batch)
+    conv = float(outs[:, 1].sum()) / (N_PIPE * batch)
+    tile_iters = float(outs[:, 2].mean())  # sweeps the tile actually ran
+
+    predicted_slope_s = tile_iters * t_tile * tiles       # config-1x shape
+    predicted_1x = batch * code.k_info / predicted_slope_s / 1e6
+    chip_1g_s = tile_iters * t_tile                       # one (half) tile
+    predicted_1g = 64 * code.k_info / chip_1g_s / 1e6     # overhead-free
+    rec = {
+        "config": "roofline", "name": "config1_regular648_sp_flooding",
+        "kernel": "pallas_bp",
+        "sweep_us_per_tile": round(t_tile * 1e6, 3),
+        "batch_tile": bt, "z": code.z, "batch": batch, "tiles": tiles,
+        "edge_updates_per_s_G": round(code.num_edges * bt / t_tile / 1e9, 2),
+        "calib_lower_bound_tops": round(calib_ops_per_s / 1e12, 3),
+        "op_point": {"snr_db": 2.0, "conv_rate": round(conv, 4),
+                     "mean_iters": round(mean_iters, 2),
+                     "tile_sweeps_executed": round(tile_iters, 2)},
+        "predicted_1x_per_dispatch_ms": round(predicted_slope_s * 1e3, 4),
+        "predicted_1x_marginal_mbits": round(predicted_1x, 1),
+        "predicted_1g_chip_us_per_dispatch": round(chip_1g_s * 1e6, 1),
+        "predicted_1g_overhead_free_mbits": round(predicted_1g, 1),
+        "t_lo_ms": round(t_lo * 1e3, 2), "t_hi_ms": round(t_hi * 1e3, 2),
+        "decode_iters": [lo_iters, hi_iters],
+    }
+    line = json.dumps(rec)
+    print(line, flush=True)
+    with open(RESULTS, "a") as f:
+        f.write(line + "\n")
+    return rec
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -382,6 +527,23 @@ def main():
                            norm=0.75, calib_ops_per_s=calib_ops)
         roofline_shortcode("wifi1944_r56", wifi(1944, "5/6"), batch=4096,
                            norm=0.75, calib_ops_per_s=calib_ops)
+        return
+
+    if "weakrows" in sys.argv[1:]:
+        # VERDICT r4 item 9: the two non-headline weak rows — config-1
+        # flooding SP (prediction vs config 1g's measured fit) and NR BG2
+        # (the generic z-lane roofline on the 42-layer base graph)
+        calib_ops, calib_info = calibrate_vpu_ops()
+        print(f"[roofline] calibrated VPU f32: {calib_ops/1e12:.2f} Tops/s",
+              file=sys.stderr, flush=True)
+        roofline_config1_sp(calib_ops)
+        bg2 = nr_code(z=384, bg=2)
+        # -8 dB: below even the rate-0.19 unpunctured BG2's capacity limit
+        # (~-5.9 dB Es/N0) — the DESIGNED table converges at the old -2 dB
+        # default, which silently broke the two-budget sweep isolation
+        roofline("nr_bg2_z384", bg2, jax.jit(triangular_encode_fn(bg2)),
+                 batch=512, norm=0.8, calib_ops_per_s=calib_ops,
+                 calib_info={"calib": calib_info}, snr_db=-8.0)
         return
 
     calib_ops, calib_info = calibrate_vpu_ops()

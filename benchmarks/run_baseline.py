@@ -220,6 +220,67 @@ def config1g():
     })
 
 
+def config1x(batch=2048):
+    """Config-1's operating point at FULL lane occupancy: same code, same
+    algorithm (flooding SP), same 2 dB — but 2048-frame dispatches
+    (16 full 128-lane tiles) instead of 64-frame ones.
+
+    The roofline accounting (results.jsonl "config1_regular648_sp_flooding")
+    measured the SP sweep at 0.945 us/tile, predicting ~38 us of chip time
+    per 64-frame dispatch — an order of magnitude below config 1g's
+    measured ~0.25-0.36 ms/dispatch slope, i.e. the 1g row is bound by the
+    tunnel's per-dispatch ingestion cost, not the decoder.  This row
+    checks the prediction where compute dominates: predicted slope =
+    16 tiles x ~40 sweeps x 0.945 us = 0.60 ms/dispatch -> ~1100 Mbit/s
+    marginal at the same deep-waterfall operating point."""
+    import jax
+    import jax.numpy as jnp
+
+    from myldpccppapi_tpu import Decoder, DecoderConfig, Encoder
+    from myldpccppapi_tpu.codes import regular
+    from myldpccppapi_tpu.ops.channel import transmit
+
+    code = regular(648)
+    enc = Encoder(code)
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, 2, size=(batch, enc.k), dtype=np.uint8)
+    cw = jnp.asarray(np.asarray(enc(jnp.asarray(u))))
+    u_dev = jnp.asarray(u, jnp.int8)
+    pos = jnp.asarray(code.info_positions)
+    dec = Decoder(code, DecoderConfig(algorithm="sum-product",
+                                      schedule="flooding"))
+
+    @jax.jit
+    def make_llr(key):
+        return transmit(key, cw, snr_db=2.0)[0]
+
+    @jax.jit
+    def one(llr):
+        res = dec(llr)
+        ferr = (res.bits[:, pos].astype(jnp.int8) != u_dev).any(axis=1)
+        return jnp.stack([
+            jnp.sum(res.iterations),
+            jnp.sum(jnp.where(res.converged, 1, 0)),
+            jnp.sum(jnp.where(ferr, 1, 0)),
+        ])
+
+    n_pipe = 32
+    make_input = lambda i: make_llr(jax.random.PRNGKey(4000 + i))
+    dt, agg = _pipe_rounds(one, make_input, n_pipe)
+    dt_lo, n_lo = _depth_fit(one, make_input, n_pipe)
+    frames = n_pipe * batch
+    it, cv, fe = (int(x) for x in agg)
+    _emit({
+        "config": "1x", "name": "regular36_n648_sp_b2048_2dB_fullwidth",
+        "throughput_mbits": round(frames * code.k_info / dt / 1e6, 3),
+        "fit": _fit_record(dt, n_pipe, dt_lo, n_lo, batch * code.k_info),
+        "round_ms": round(dt * 1e3, 3), "frames_per_round": frames,
+        "conv_rate": round(cv / frames, 4), "fer": round(fe / frames, 4),
+        "mean_iters": round(it / frames, 2),
+        "impl": dec.implementation,
+    })
+
+
 def config1c():
     """Config-1 operating point with CRC-16-aided acceptance: the ~10% of
     frames that converge to a WRONG codeword at 2 dB (config 1's
@@ -728,6 +789,83 @@ def config4t(snr_db=3.0, batch=128):
     })
 
 
+def config_soft():
+    """Soft-output (posterior LLR) decode rate from the z-lane kernel —
+    the VERDICT r4 item-2 "measured throughput row".
+
+    A/B at identical operating points: the same decode with
+    ``soft_output`` off vs on.  The posterior output is one extra VMEM
+    block DMA'd out per column block (the ``refreshPostPMS`` analogue,
+    reference ``decodeCL.c:149-171``, latched at convergence like the
+    bits); production consumers (iterative demapping / turbo
+    equalization) read it on-device, so the timed program reduces the
+    posteriors to a scalar on-device checksum instead of paying the
+    tunnel's large-array readback (BENCH_NOTES methodology).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from myldpccppapi_tpu import Decoder, DecoderConfig
+    from myldpccppapi_tpu.codes.dvbs2 import dvbs2, ira_encode_fn
+    from myldpccppapi_tpu.codes.nr import nr_code, triangular_encode_fn
+
+    cases = [
+        ("nr_bg1_z384", nr_code(z=384, bg=1), triangular_encode_fn, 512,
+         5.0, 30, 32),
+        ("dvbs2_64800_r12", dvbs2(64800, "1/2"), ira_encode_fn, 512,
+         2.2, 30, 8),
+    ]
+    for name, code, make_enc, batch, snr_db, max_iters, n_pipe in cases:
+        enc = jax.jit(make_enc(code))
+        rng = np.random.default_rng(0)
+        u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
+        tx_dev = jax.device_put(
+            jnp.asarray(1.0 - 2.0 * np.asarray(enc(jnp.asarray(u)),
+                                               dtype=np.float32)))
+        sigma = 10 ** (-snr_db / 20)
+
+        @jax.jit
+        def make_llr(key, tx_sym=tx_dev, s=sigma):
+            noise = s * jax.random.normal(key, tx_sym.shape, jnp.float32)
+            return 2.0 * (tx_sym + noise) / (s * s)
+
+        rows = []
+        for soft in (False, True):
+            cfg = DecoderConfig(schedule="layered", normalization=0.8,
+                                max_iters=max_iters, soft_output=soft)
+            dec = Decoder(code, cfg)
+
+            @jax.jit
+            def one(llr, dec=dec, soft=soft):
+                res = dec(llr)
+                softsum = (jnp.sum(jnp.abs(res.posteriors)) if soft
+                           else jnp.float32(0))
+                return jnp.stack([
+                    jnp.sum(res.iterations).astype(jnp.float32),
+                    jnp.sum(jnp.where(res.converged, 1, 0)).astype(
+                        jnp.float32),
+                    softsum,
+                ])
+
+            make_input = lambda i: make_llr(jax.random.PRNGKey(7000 + i))
+            dt, agg = _pipe_rounds(one, make_input, n_pipe)
+            dt_lo, n_lo = _depth_fit(one, make_input, n_pipe)
+            frames = n_pipe * batch
+            rows.append({
+                "soft_output": soft,
+                "impl": dec.implementation,
+                "throughput_mbits": round(frames * code.k / dt / 1e6, 3),
+                "fit": _fit_record(dt, n_pipe, dt_lo, n_lo, batch * code.k),
+                "round_ms": round(dt * 1e3, 3),
+                "conv_rate": round(float(agg[1]) / frames, 4),
+                "mean_iters": round(float(agg[0]) / frames, 2),
+            })
+            assert dec.implementation == ("pallas_zlane"), dec.implementation
+        _emit({"config": "soft", "name": f"soft_output_ab_{name}",
+               "code": code.name, "batch": batch, "snr_db": snr_db,
+               "rows": rows})
+
+
 def config5():
     """Waterfall campaign: 8 SNR points x (NR + DVB-S2 short), batch-sharded
     over a (2 hosts x N/2 chips)-shaped mesh with psum'd frame stats."""
@@ -789,10 +927,11 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
-    fns = {"1": config1, "1g": config1g, "1c": config1c, "2": config2,
+    fns = {"1": config1, "1g": config1g, "1x": config1x, "1c": config1c, "2": config2,
            "3": config3, "3s": config3s, "3h": config3h, "3m": config3m,
            "4": config4, "4m": config4m,
-           "4b": config4b, "4c": config4c, "4t": config4t, "5": config5}
+           "4b": config4b, "4c": config4c, "4t": config4t, "5": config5,
+           "soft": config_soft}
     wanted = args or ["1", "1g", "1c", "2", "3", "3s", "3h", "3m", "4", "4m",
                       "4b",
                       "4c", "4t", "5"]
