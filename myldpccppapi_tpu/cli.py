@@ -184,6 +184,7 @@ def cmd_waterfall(args) -> int:
         outer=outer,
         mod=mod,
         demap=getattr(args, "demap", "maxlog"),
+        id_outer=getattr(args, "id_outer", 0),
     )
     step = jax.jit(step)
 
@@ -204,7 +205,9 @@ def cmd_waterfall(args) -> int:
     fp = ccfg.fingerprint(
         code.name,
         repr(cfg) + f"/snr_shards={snr_shards}/outer={outer}"
-        + (f"/mod={mod_name}/demap={args.demap}" if mod is not None else ""),
+        + (f"/mod={mod_name}/demap={args.demap}"
+           f"/id_outer={getattr(args, 'id_outer', 0)}"
+           if mod is not None else ""),
     )
     camp = WaterfallCampaign(
         ccfg, step_fn,
@@ -400,6 +403,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "demapping feeds the decoder")
     w.add_argument("--demap", default="maxlog", choices=["maxlog", "exact"],
                    help="soft-demapper flavor for --mod != bpsk")
+    w.add_argument("--id-outer", type=int, default=0, dest="id_outer",
+                   help="BICM-ID: demapper<->decoder extrinsic exchanges "
+                        "after the first pass (needs --mod != bpsk; pays "
+                        "off on non-Gray labelings — see ops/bicm_id.py)")
     w.add_argument("--snr-shards", type=int, default=1,
                    help="shard the SNR grid over this many mesh shards "
                         "(must divide the device count): groups of N SNR "

@@ -31,9 +31,7 @@ def _implementation(cfg: DecoderConfig, code) -> str:
     if getattr(code, "group", "cyclic") == "xor":
         # RS-LDPC additive blocks: block-structured jnp path, or the fused
         # kernel's butterfly alignment on TPU (z-lane/stream are circulant-
-        # only)
-        if cfg.soft_output:
-            return "jnp"
+        # only); the fused kernel serves soft output too (latched posterior)
         try:
             platform = jax.devices()[0].platform
         except RuntimeError:
@@ -43,28 +41,31 @@ def _implementation(cfg: DecoderConfig, code) -> str:
             from .ops.bp import weights_mode
 
             if (weights_mode(cfg, code.m_b) != "iter"
-                    and pallas_bp.supported(code)):
+                    and (cfg.triage_iters == 0 or not cfg.soft_output)
+                    and pallas_bp.supported(code, soft=cfg.soft_output)):
                 # per-iteration (learned) schedules live on the jnp path,
                 # same as the cyclic branch below
                 return "pallas"
         return "jnp"
     if cfg.soft_output:
-        # posterior-LLR output: the z-lane kernel already holds the
-        # posterior in VMEM and latches it at convergence, so long codes
-        # (NR Z>=64, DVB-S2) serve soft output AT KERNEL RATE; the
-        # short-code kernels keep their VMEM budget for decode state -> jnp
+        # posterior-LLR output: both fused kernels hold the posterior in
+        # VMEM and latch it at convergence, so short codes (pallas) and
+        # long codes (z-lane: NR Z>=64, DVB-S2) serve soft output AT
+        # KERNEL RATE; jnp remains the portable fallback
         try:
             platform = jax.devices()[0].platform
         except RuntimeError:
             platform = "cpu"
         if platform == "tpu":
-            from .ops import pallas_zlane
+            from .ops import pallas_bp, pallas_zlane
             from .ops.bp import weights_mode
 
             if (weights_mode(cfg, code.m_b) != "iter"
-                    and cfg.triage_iters == 0
-                    and pallas_zlane.zlane_supported(code, cfg)):
-                return "pallas_zlane"
+                    and cfg.triage_iters == 0):
+                if pallas_bp.supported(code, soft=True):
+                    return "pallas"
+                if pallas_zlane.zlane_supported(code, cfg):
+                    return "pallas_zlane"
         return "jnp"
     # Fused Pallas kernels on TPU when the code's working set fits VMEM;
     # the jnp/XLA path is the portable fallback (CPU tests, interpreters).
@@ -139,11 +140,12 @@ class Decoder:
         self.code = code
         self.config = config
         impl = _implementation(config, code)
-        if config.soft_output and impl in ("pallas", "pallas_stream"):
+        if config.soft_output and impl == "pallas_stream":
             raise ValueError(
                 "soft_output is served by the jnp/edge-list paths and the "
-                "z-lane kernel (long codes); use implementation=\"auto\", "
-                '"jnp", or "pallas_zlane"'
+                "fused pallas (short codes) / z-lane (long codes) kernels; "
+                'the streaming kernel does not latch posteriors — use '
+                'implementation="auto", "jnp", "pallas", or "pallas_zlane"'
             )
         if config.soft_output and config.triage_iters > 0:
             raise ValueError(

@@ -327,7 +327,8 @@ def modulate(bits: jax.Array, mod: Modulation) -> jax.Array:
     return lut[idx]
 
 
-def demap_llr(y: jax.Array, n0, mod: Modulation, method: str = "maxlog") -> jax.Array:
+def demap_llr(y: jax.Array, n0, mod: Modulation, method: str = "maxlog",
+              prior: "jax.Array | None" = None) -> jax.Array:
     """Soft-demap [..., S] received symbols -> [..., S*m] LLRs (positive =>
     bit 0), for complex AWGN with total noise variance ``n0`` per symbol
     (per-component variance n0/2).
@@ -336,22 +337,42 @@ def demap_llr(y: jax.Array, n0, mod: Modulation, method: str = "maxlog") -> jax.
     ``method="exact"``:  LLR_i = logsumexp_{b_i=0}(-|y-x|^2/n0)
                                 - logsumexp_{b_i=1}(-|y-x|^2/n0).
 
+    ``prior``: optional per-bit a priori LLRs [..., S*m] (same sign
+    convention) — the BICM-ID inner step (demapInit analogue the reference
+    lacks; SURVEY §2.2 covers one-shot demap only).  Each point's metric
+    gains its label's prior mass, ``M(x) = |y-x|^2/n0 + sum_j b_j(x)
+    prior_j``, and the returned LLRs are the **APP** (= prior +
+    extrinsic); subtract ``prior`` for the extrinsic fed onward.  With
+    ``prior=None`` the metric is the plain distance (identical programs).
+
     Scans the M points carrying per-bit accumulators — no [., M] tensor.
     """
     m = mod.bits_per_symbol
     inv_n0 = 1.0 / jnp.asarray(n0, dtype=jnp.float32)
+    if prior is not None:
+        # [..., S*m] -> [..., S, m] per-symbol prior columns
+        prior = prior.reshape(prior.shape[:-1] + (-1, m)).astype(jnp.float32)
 
     # The loop over constellation points is a PYTHON loop (static M <= 256):
     # XLA fuses all per-point distance/accumulator updates into one
     # elementwise pass over the symbols, keeping the per-bit accumulators in
     # registers.  A lax.scan here materializes the [.., m] carry pair to HBM
     # every step (measured ~30 ms extra per 16.6M-symbol dispatch at M=16).
-    def per_bit_llrs(obs, pts, labels, nbits):
+    def per_bit_llrs(obs, pts, labels, nbits, pri):
+        def metric(p_idx):
+            d = jnp.square(jnp.abs(obs - pts[p_idx])) * inv_n0
+            if pri is not None:
+                # sum of this label's set-bit priors: -log P(x) up to const
+                for i in range(nbits):
+                    if labels[p_idx, i]:
+                        d = d + pri[..., i]
+            return d
+
         def accumulate(update, init):
             acc0 = [init] * nbits
             acc1 = [init] * nbits
             for p_idx in range(len(pts)):
-                d = jnp.square(jnp.abs(obs - pts[p_idx]))
+                d = metric(p_idx)
                 for i in range(nbits):
                     if labels[p_idx, i]:
                         acc1[i] = update(acc1[i], d)
@@ -361,11 +382,11 @@ def demap_llr(y: jax.Array, n0, mod: Modulation, method: str = "maxlog") -> jax.
 
         if method == "maxlog":
             m0, m1 = accumulate(jnp.minimum, jnp.inf)
-            return [(b - a) * inv_n0 for a, b in zip(m0, m1)]
+            return [b - a for a, b in zip(m0, m1)]
         if method == "exact":
-            # logsumexp of -d/n0 via running logaddexp (stable)
+            # logsumexp of -M via running logaddexp (stable)
             def lse(acc, d):
-                return jnp.logaddexp(acc, -d * inv_n0)
+                return jnp.logaddexp(acc, -d)
 
             l0, l1 = accumulate(lse, -jnp.inf)
             return [a - b for a, b in zip(l0, l1)]
@@ -373,16 +394,21 @@ def demap_llr(y: jax.Array, n0, mod: Modulation, method: str = "maxlog") -> jax.
 
     if mod.pam is not None:
         # separable square QAM: demap I and Q against the L-level PAM
-        # alphabet instead of all L^2 points.  EXACT for both methods:
-        # |y-x|^2 = dI + dQ, and the unconstrained axis's min (max-log) /
-        # logsumexp (exact) is common to both bit hypotheses and cancels.
+        # alphabet instead of all L^2 points.  EXACT for both methods,
+        # priors included: |y-x|^2 = dI + dQ and the label bits partition
+        # by axis (TS 38.211 Gray QAM: even bits from I, odd from Q), so
+        # M(x) = MI(xi) + MQ(xq) and the unconstrained axis's min
+        # (max-log) / logsumexp (exact) is common to both bit hypotheses
+        # and cancels.
         levels, plabs = mod.pam
         axis_llrs = [
-            per_bit_llrs(comp, levels, plabs, plabs.shape[1])
-            for comp in (jnp.real(y), jnp.imag(y))
+            per_bit_llrs(comp, levels, plabs, plabs.shape[1],
+                         None if prior is None else prior[..., a::2])
+            for a, comp in enumerate((jnp.real(y), jnp.imag(y)))
         ]
         bit_llrs = [axis_llrs[i % 2][i // 2] for i in range(m)]
     else:
-        bit_llrs = per_bit_llrs(y, np.asarray(mod.points), mod.labels, m)
+        bit_llrs = per_bit_llrs(y, np.asarray(mod.points), mod.labels, m,
+                                prior)
     llr = jnp.stack(bit_llrs, axis=-1)  # [..., S, m]
     return llr.reshape(y.shape[:-1] + (-1,))

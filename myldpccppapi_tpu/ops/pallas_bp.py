@@ -101,7 +101,8 @@ def _msg_elems(code: QCCode) -> int:
 
 
 def choose_batch_tile(
-    code: QCCode, vmem_budget: int = 12 * 1024 * 1024, itemsize: int = 4
+    code: QCCode, vmem_budget: int = 12 * 1024 * 1024, itemsize: int = 4,
+    soft: bool = False,
 ) -> int:
     """Lane tile for the fused kernel, or 0 if the code cannot be
     VMEM-resident.
@@ -115,10 +116,12 @@ def choose_batch_tile(
     or the opt-in streaming kernel instead.
     """
     per_lane = (2 * code.n + _msg_elems(code)) * itemsize + code.n
+    if soft:
+        per_lane += code.n * itemsize  # latched posterior output block
     return _LANES if per_lane * _LANES <= vmem_budget else 0
 
 
-def supported(code: QCCode | None) -> bool:
+def supported(code: QCCode | None, soft: bool = False) -> bool:
     if code is None:
         return True
     # partial (row-masked) circulants are a z-lane-kernel/jnp feature; the
@@ -129,14 +132,14 @@ def supported(code: QCCode | None) -> bool:
         # RS-LDPC additive blocks: static butterfly alignment only (no dyn
         # fallback); cap the unroll at a compile-friendly block count
         return (code.num_blocks <= 256
-                and choose_batch_tile(code) >= _LANES)
+                and choose_batch_tile(code, soft=soft) >= _LANES)
     # table-driven (dyn) kernels compile pathologically slowly through the
     # Mosaic pipeline on hardware (many dynamic rolls in deep loops); keep
     # them out of auto dispatch until the compile cost is fixed — explicit
     # decode_qc_pallas calls still use them
     if code.num_blocks > _DYN_BLOCK_THRESHOLD:
         return False
-    return choose_batch_tile(code) >= _LANES
+    return choose_batch_tile(code, soft=soft) >= _LANES
 
 
 def _layer_weights(cfg: DecoderConfig, n_layers: int):
@@ -257,17 +260,26 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int):
     lw = _layer_weights(cfg, code.m_b)
     row_align, col_align = _aligners_tile(code)
 
-    def kernel(chan_ref, bits_ref, conv_ref, iters_ref, texec_ref, p_scr, r_scr, done_scr):
+    soft = cfg.soft_output
+
+    def kernel(chan_ref, bits_ref, conv_ref, iters_ref, texec_ref,
+               *post_and_scratch):
         # load channel LLRs; posterior starts at the channel value.
         # Per-lane decode state (done mask, iteration counts) lives in VMEM
         # refs rather than while-loop carries: Mosaic cannot relayout small
         # [1, bt] vector carries across iterations, and scalar carries keep
         # the loop condition in SREGs.
+        if soft:
+            post_ref, p_scr, r_scr, done_scr = post_and_scratch
+        else:
+            p_scr, r_scr, done_scr = post_and_scratch
         p_scr[:] = chan_ref[:]
         r_scr[:] = jnp.zeros_like(r_scr)
         bits_ref[:] = jnp.zeros_like(bits_ref)
         done_scr[:] = jnp.zeros_like(done_scr)
         iters_ref[:] = jnp.zeros_like(iters_ref)
+        if soft:
+            post_ref[:] = chan_ref[:].astype(post_ref.dtype)
 
         def sweep_layered():
             for li, entries in enumerate(layers):
@@ -318,6 +330,16 @@ def _build_kernel(code: QCCode, cfg: DecoderConfig, bt: int):
             bits_ref[:] = (
                 bits_ref[:].astype(jnp.int32) * d32b + new_bits * (1 - d32b)
             ).astype(jnp.int8)
+            if soft:
+                # latch the posterior at each codeword's convergence sweep,
+                # same done-mask multiply-add as the bits (refreshPostPMS
+                # analogue, decodeCL.c:149-171, served from VMEM at kernel
+                # rate — completes VERDICT r4 item 2 for short codes)
+                df = done.astype(jnp.float32).reshape(1, 1, bt)
+                post_ref[:] = (
+                    post_ref[:].astype(jnp.float32) * df
+                    + p_scr[:].astype(jnp.float32) * (1.0 - df)
+                ).astype(post_ref.dtype)
             d32 = done.astype(jnp.int32)
             iters_ref[:] = iters_ref[:] * d32 + (t + 1) * (1 - d32)
             done = jnp.maximum(done, 1.0 - fail)
@@ -462,8 +484,14 @@ def decode_qc_pallas(code: QCCode, cfg: DecoderConfig, llr: jax.Array, interpret
         and cfg.schedule == "layered"
         and cfg.algorithm == "min-sum"
     )
+    if cfg.soft_output and use_dyn:
+        raise ValueError(
+            "soft_output is not supported on the table-driven (dyn) kernel; "
+            "use the jnp path (auto dispatch never routes here)"
+        )
     itemsize = jnp.dtype(dtype).itemsize
-    if choose_batch_tile(code, itemsize=itemsize) < _LANES:
+    if choose_batch_tile(code, itemsize=itemsize,
+                         soft=cfg.soft_output) < _LANES:
         raise ValueError(
             f"{code.name}: working set exceeds VMEM at the 128-lane tile; "
             "use the jnp path (Decoder dispatches this automatically)"
@@ -482,19 +510,25 @@ def decode_qc_pallas(code: QCCode, cfg: DecoderConfig, llr: jax.Array, interpret
     # [B, n] -> [n_b, z, B]: lanes = codewords, sublanes = circulant rows
     chan = llr_p.T.reshape(n_b, z, bp)
     grid = (bp // bt,)
-    out_shape = (
+    out_shape = [
         jax.ShapeDtypeStruct((n_b, z, bp), jnp.int8),   # bits
         jax.ShapeDtypeStruct((1, bp), jnp.int8),         # converged
         jax.ShapeDtypeStruct((1, bp), jnp.int32),        # iterations (latched)
         jax.ShapeDtypeStruct((1, bp), jnp.int32),        # executed per tile
-    )
+    ]
     chan_spec = pl.BlockSpec((n_b, z, bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
-    out_specs = (
+    out_specs = [
         pl.BlockSpec((n_b, z, bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
-    )
+    ]
+    if cfg.soft_output:
+        # posterior LLRs, latched at convergence like the bits
+        out_shape.append(jax.ShapeDtypeStruct((n_b, z, bp), dtype))
+        out_specs.append(pl.BlockSpec((n_b, z, bt), lambda i: (0, 0, i),
+                                      memory_space=pltpu.VMEM))
+    out_shape, out_specs = tuple(out_shape), tuple(out_specs)
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("parallel",),  # tiles are independent (megacore)
     )
@@ -526,7 +560,7 @@ def decode_qc_pallas(code: QCCode, cfg: DecoderConfig, llr: jax.Array, interpret
         )(jnp.asarray(col_tab), jnp.asarray(shift_tab), chan)
     else:
         kernel = _build_kernel(code, cfg, bt)
-        bits, conv, iters, texec = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[chan_spec],
@@ -540,10 +574,14 @@ def decode_qc_pallas(code: QCCode, cfg: DecoderConfig, llr: jax.Array, interpret
             compiler_params=compiler_params,
             interpret=interpret,
         )(chan)
+        bits, conv, iters, texec = outs[:4]
 
     bits_bn = bits.reshape(n_b * z, bp).T[:b].astype(jnp.uint8)  # [B, n]
     conv_b = conv[0, :b] > 0
     iters_b = iters[0, :b]
+    posteriors = None
+    if cfg.soft_output:
+        posteriors = outs[4].reshape(n_b * z, bp).T[:b]
     return DecodeResult(
         bits=bits_bn,
         converged=conv_b,
@@ -551,4 +589,5 @@ def decode_qc_pallas(code: QCCode, cfg: DecoderConfig, llr: jax.Array, interpret
         # path's total_iters counts the single shared loop the same way)
         iterations=iters_b,
         total_iters=jnp.max(texec[0]),
+        posteriors=posteriors,
     )

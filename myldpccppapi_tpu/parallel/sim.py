@@ -108,6 +108,7 @@ def sim_step(
     outer: "Optional[tuple]" = None,
     mod=None,
     demap: str = "maxlog",
+    id_outer: int = 0,
 ) -> SimStats:
     """Simulate one batch at one SNR point.  Pure; jit/vmap/shard-safe.
 
@@ -119,6 +120,10 @@ def sim_step(
     per-component sigma (so ``snr_db`` stays Es/sigma^2 in dB, the same
     convention as the BPSK path) and the ``demap`` soft demapper
     ("maxlog"/"exact") produces the decoder LLRs.
+
+    ``id_outer > 0`` (non-BPSK only) runs BICM-ID: that many
+    demapper<->decoder extrinsic exchanges after the first pass
+    (:mod:`..ops.bicm_id`), replacing the one-shot ``decode_fn``.
 
     When ``cfg.crc`` is set, random MESSAGE bits are drawn and the CRC is
     attached (TS 38.212 §5.1 code-block layout) before encoding, so the
@@ -176,9 +181,12 @@ def sim_step(
     cw = encode_fn(u)  # [B, n] 0/1 ints
     sigma = sigma_from_snr_db(snr_db)
     if mod is None or mod.name == "bpsk":
+        if id_outer:
+            raise ValueError("id_outer (BICM-ID) needs a non-BPSK mod")
         sym = 1.0 - 2.0 * cw.astype(jnp.float32)
         y = sym + sigma * jax.random.normal(k_n, sym.shape, dtype=jnp.float32)
         llr = channel_llr(y, sigma, llr_scale)
+        res = decode_fn(llr)
     else:
         if llr_scale is not None:
             raise ValueError("llr_scale is a BPSK-path quirk knob; the "
@@ -188,8 +196,15 @@ def sim_step(
         sym = modulate(cw, mod)
         noise = jax.random.normal(k_n, sym.shape + (2,), dtype=jnp.float32)
         y = sym + sigma * jax.lax.complex(noise[..., 0], noise[..., 1])
-        llr = demap_llr(y, 2.0 * sigma * sigma, mod, demap)
-    res = decode_fn(llr)
+        n0 = 2.0 * sigma * sigma
+        if id_outer:
+            from ..ops.bicm_id import make_bicm_id_receive
+
+            rx = make_bicm_id_receive(code, cfg, mod, n_outer=id_outer,
+                                      method=demap)
+            res = rx(y, n0)
+        else:
+            res = decode_fn(demap_llr(y, n0, mod, demap))
     decoded_info = res.bits[:, info_pos].astype(jnp.int8)
     bit_err = jnp.sum((decoded_info != u).astype(jnp.int32), axis=-1)  # [B]
     accepted = res.ok  # syndrome, and CRC when CRC-aided
@@ -222,6 +237,7 @@ def make_sharded_campaign_step(
     outer: "Optional[tuple]" = None,
     mod=None,
     demap: str = "maxlog",
+    id_outer: int = 0,
 ):
     """Build the sharded campaign step: (key, snr_db[num_snr]) -> SimStats
     with leading SNR axis [num_snr].
@@ -256,7 +272,7 @@ def make_sharded_campaign_step(
             return sim_step(
                 code, cfg, k, snr_local[i], batch_per_device,
                 encode_fn, decode_fn, llr_scale, outer=outer,
-                mod=mod, demap=demap,
+                mod=mod, demap=demap, id_outer=id_outer,
             )
 
         keys = jax.random.split(key, snr_local.shape[0])

@@ -175,14 +175,19 @@ class TestSoftOutput:
         res = dec(jnp.ones((4, code.n), jnp.float32))
         assert res.posteriors is None
 
-    def test_fused_impl_rejected(self):
+    def test_fused_impl_soft_contract(self):
         from myldpccppapi_tpu.codes.wimax import wimax
         from myldpccppapi_tpu.decoder import Decoder
         from myldpccppapi_tpu.utils.config import DecoderConfig
 
         code = wimax(576, "1/2")
+        # the fused short-code kernel serves soft output (latched
+        # posterior, round 5); the streaming kernel does not
+        dec = Decoder(code, DecoderConfig(implementation="pallas",
+                                          soft_output=True))
+        assert dec.implementation == "pallas"
         with pytest.raises(ValueError, match="soft_output"):
-            Decoder(code, DecoderConfig(implementation="pallas",
+            Decoder(code, DecoderConfig(implementation="pallas_stream",
                                         soft_output=True))
         with pytest.raises(ValueError, match="triage"):
             Decoder(code, DecoderConfig(implementation="jnp",

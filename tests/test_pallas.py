@@ -248,3 +248,40 @@ def test_streaming_kernel_single_buffer_path(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(res.iterations), np.asarray(ref.iterations)
     )
+
+
+@pytest.mark.parametrize("schedule", ["layered", "flooding"])
+def test_pallas_soft_output_bitexact(schedule):
+    """Posterior-LLR output latched in-kernel (short-code analogue of the
+    z-lane soft output): bit-identical to the jnp path's per-frame latched
+    posteriors at a mixed-convergence operating point, and consistent with
+    the hard decisions."""
+    code = wimax(576, "1/2")
+    _, llr = _case(code, batch=16, snr_db=1.6, seed=7)
+    cfg = DecoderConfig(schedule=schedule, normalization=0.75, max_iters=8,
+                        soft_output=True)
+    ref = decode_qc(code, cfg, llr)
+    res = decode_qc_pallas(code, cfg, llr, True)
+    conv = np.asarray(res.converged)
+    assert (conv == np.asarray(ref.converged)).all()
+    assert 0 < conv.sum() < 16  # the latch (not just final state) in play
+    assert res.posteriors is not None
+    assert res.posteriors.shape == (16, code.n)
+    p, pr = np.asarray(res.posteriors), np.asarray(ref.posteriors)
+    assert (p[conv] == pr[conv]).all()
+    assert ((p <= 0) == np.asarray(res.bits)).all()
+
+
+def test_soft_output_dispatch_refusals():
+    """Dyn kernel refuses soft; streaming refuses soft; Decoder facade on
+    CPU routes soft to jnp and still produces posteriors."""
+    from myldpccppapi_tpu import Decoder
+    from myldpccppapi_tpu.codes.nr import nr_code
+
+    code = nr_code(z=64, bg=1)  # 316 blocks: dyn territory
+    cfg = DecoderConfig(schedule="layered", max_iters=4, soft_output=True)
+    with pytest.raises(ValueError, match="table-driven"):
+        decode_qc_pallas(code, cfg, jnp.ones((8, code.n)), True)
+    dec = Decoder(wimax(576, "1/2"), cfg)
+    res = dec(jnp.ones((4, 576)))
+    assert res.posteriors is not None and res.posteriors.shape == (4, 576)
