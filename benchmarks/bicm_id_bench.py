@@ -40,6 +40,7 @@ RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _emit(rec):
+    rec.setdefault("date", time.strftime("%Y-%m-%d"))
     line = json.dumps(rec)
     print(line, flush=True)
     with open(RESULTS, "a") as f:

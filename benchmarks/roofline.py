@@ -298,7 +298,7 @@ def roofline(name, code, encode, batch, norm, calib_ops_per_s, calib_info,
     cycles = t_tile * NOMINAL_CLOCK_HZ
     slots = vreg_ops / cycles / VPU_ISSUE_SLOTS
     rec = {
-        "config": "roofline", "name": name,
+        "config": "roofline", "name": name, "date": time.strftime("%Y-%m-%d"),
         "sweep_us_per_tile": round(t_tile * 1e6, 3),
         "batch_tile": bt, "zp": zp,
         "tile_vector_ops_per_sweep": tile_ops,
@@ -368,7 +368,7 @@ def roofline_shortcode(name, code, batch, norm, calib_ops_per_s):
     t_tile = (t_hi - t_lo) / sweeps
     edges = code.num_edges
     rec = {
-        "config": "roofline", "name": name, "kernel": "pallas_bp",
+        "config": "roofline", "name": name, "date": time.strftime("%Y-%m-%d"), "kernel": "pallas_bp",
         "sweep_us_per_tile": round(t_tile * 1e6, 3),
         "batch_tile": bt, "z": code.z,
         "edge_updates_per_s_G": round(edges * bt / t_tile / 1e9, 2),
@@ -487,7 +487,7 @@ def roofline_config1_sp(calib_ops_per_s):
     predicted_1g = 64 * code.k_info / chip_1g_s / 1e6     # overhead-free
     rec = {
         "config": "roofline", "name": "config1_regular648_sp_flooding",
-        "kernel": "pallas_bp",
+        "kernel": "pallas_bp", "date": time.strftime("%Y-%m-%d"),
         "sweep_us_per_tile": round(t_tile * 1e6, 3),
         "batch_tile": bt, "z": code.z, "batch": batch, "tiles": tiles,
         "edge_updates_per_s_G": round(code.num_edges * bt / t_tile / 1e9, 2),
