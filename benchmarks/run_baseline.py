@@ -537,6 +537,18 @@ def config3m():
             rate="3/4", mod="16apsk")
 
 
+def config3m32(snr_db=17.4):
+    """DVB-S2 n=64800 r3/4 received as 32APSK (EN 302 307 §5.4.4 pairs
+    32APSK with rates 3/4..9/10): max-log demap of 12960 5-bit symbols/
+    frame through the three-ring constellation (generic 32-point loop —
+    APSK has no separable shortcut), then the z-lane decode.  Completes
+    the measured constellation set (QPSK/16/64QAM, 8PSK, 16APSK, 32APSK).
+    Operating point ~1 dB above the measured one-shot cliff (snr is
+    Es/sigma_component^2 = Es/N0 + 3.01 dB)."""
+    config3(n=64800, batch=1024, snr_db=snr_db, n_pipe=8, label="3m32",
+            rate="3/4", mod="32apsk")
+
+
 def config4(z=384, bg=1, batch=512, label=4, sweep=None):
     """NR-style BG1 Z=384, rate-matched LLR puncturing, multi-SNR sweep
     (config 4); BG2 at the same lifting is config "4b" (the second base
@@ -674,6 +686,97 @@ def config4m(snr_db=13.5):
         "mean_iters": round(iters_sum / frames, 2),
         "bit_errors": berr,
         "impl": dec.implementation,
+    })
+
+
+def config4h(snr_db=0.5, batch=512):
+    """HARQ incremental redundancy measured end-to-end (config "4h"):
+    first transmission rv0 carries only 2/3 of the circular buffer
+    (effective rate ~0.5 — FAILS at this SNR), the retransmission sends
+    the remaining third from rv2's starting point (TS 38.212 §5.4.2.1);
+    harq_combine scatters both into one decoder input.  Reports the
+    rv0-only vs combined FER at the same operating point (paired noise)
+    and the combined receive's pipelined throughput — the measured
+    counterpart of tests/test_nr.py::test_harq_incremental_redundancy."""
+    import jax
+    import jax.numpy as jnp
+
+    from myldpccppapi_tpu import Decoder, DecoderConfig
+    from myldpccppapi_tpu.codes.nr import (
+        harq_combine, nr_code, rate_match_bits, triangular_encode_fn,
+    )
+
+    code = nr_code(z=384, bg=1)
+    enc = jax.jit(triangular_encode_fn(code))
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
+    cw = jnp.asarray(np.asarray(enc(jnp.asarray(u))))
+    n_cb = code.n - code.punctured_front
+    e1 = (2 * n_cb // 3 // code.z) * code.z
+    e2 = n_cb - e1
+    tx1 = jax.device_put(1.0 - 2.0 * jnp.asarray(
+        np.asarray(rate_match_bits(code, cw, e1, rv=0)), jnp.float32))
+    tx2 = jax.device_put(1.0 - 2.0 * jnp.asarray(
+        np.asarray(rate_match_bits(code, cw, e2, rv=2)), jnp.float32))
+    u_dev = jnp.asarray(u, jnp.int8)
+    pos = jnp.asarray(code.info_positions)
+    sigma = 10 ** (-snr_db / 20)
+    dec = Decoder(code, DecoderConfig(schedule="layered", normalization=0.8,
+                                      max_iters=30))
+
+    @jax.jit
+    def make_llr(key):
+        k1, k2 = jax.random.split(key)
+        y1 = tx1 + sigma * jax.random.normal(k1, tx1.shape, jnp.float32)
+        y2 = tx2 + sigma * jax.random.normal(k2, tx2.shape, jnp.float32)
+        return 2.0 * y1 / (sigma * sigma), 2.0 * y2 / (sigma * sigma)
+
+    def counters(res):
+        ferr = (res.bits[:, pos].astype(jnp.int8) != u_dev).any(axis=1)
+        return jnp.stack([jnp.sum(jnp.where(ferr, 1, 0)),
+                          jnp.sum(jnp.where(res.converged, 1, 0)),
+                          jnp.sum(res.iterations)])
+
+    @jax.jit
+    def one_alone(llrs):
+        return counters(dec(harq_combine(code, [(llrs[0], 0)])))
+
+    @jax.jit
+    def one_comb(llrs):
+        return counters(dec(harq_combine(code, [(llrs[0], 0),
+                                                (llrs[1], 2)])))
+
+    # paired FER comparison on the same noise
+    agg = {"alone": np.zeros(3, np.int64), "comb": np.zeros(3, np.int64)}
+    rounds = 8
+    for r in range(rounds):
+        llrs = make_llr(jax.random.PRNGKey(600 + r))
+        jax.block_until_ready(llrs)
+        outs = np.asarray(jnp.stack([one_alone(llrs), one_comb(llrs)]))
+        agg["alone"] += outs[0].astype(np.int64)
+        agg["comb"] += outs[1].astype(np.int64)
+    frames = rounds * batch
+
+    # combined-receive throughput (payload = k per combined frame)
+    n_pipe = 16
+    make_input = lambda i: make_llr(jax.random.PRNGKey(7000 + i))
+    dt, agg_t = _pipe_rounds(one_comb, make_input, n_pipe)
+    dt_lo, n_lo = _depth_fit(one_comb, make_input, n_pipe)
+
+    def row(a):
+        fe, cv, it = (int(x) for x in a)
+        return {"fer": round(fe / frames, 6), "frame_errors": fe,
+                "conv": round(cv / frames, 4),
+                "mean_iters": round(it / frames, 2)}
+
+    _emit({
+        "config": "4h", "name": "nr_bg1_z384_harq_ir_rv0_rv2",
+        "snr_db": snr_db, "e1": int(e1), "e2": int(e2),
+        "frames": frames, "impl": dec.implementation,
+        "rv0_only": row(agg["alone"]), "combined": row(agg["comb"]),
+        "combined_throughput_mbits": round(
+            n_pipe * batch * code.k / dt / 1e6, 3),
+        "fit": _fit_record(dt, n_pipe, dt_lo, n_lo, batch * code.k),
     })
 
 
@@ -929,9 +1032,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
     fns = {"1": config1, "1g": config1g, "1x": config1x, "1c": config1c, "2": config2,
-           "3": config3, "3s": config3s, "3h": config3h, "3m": config3m,
+           "3": config3, "3s": config3s, "3h": config3h, "3m": config3m, "3m32": config3m32,
            "4": config4, "4m": config4m,
-           "4b": config4b, "4c": config4c, "4t": config4t, "5": config5,
+           "4h": config4h, "4b": config4b, "4c": config4c, "4t": config4t, "5": config5,
            "soft": config_soft}
     wanted = args or ["1", "1g", "1c", "2", "3", "3s", "3h", "3m", "4", "4m",
                       "4b",
