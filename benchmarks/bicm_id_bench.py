@@ -34,17 +34,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "results.jsonl")
-
-
-def _emit(rec):
-    rec.setdefault("date", time.strftime("%Y-%m-%d"))
-    line = json.dumps(rec)
-    print(line, flush=True)
-    with open(RESULTS, "a") as f:
-        f.write(line + "\n")
+from run_baseline import _emit  # shared emitter (single results.jsonl format)
 
 
 def _modulate_np(bits: np.ndarray, mod) -> np.ndarray:
@@ -56,7 +48,15 @@ def _modulate_np(bits: np.ndarray, mod) -> np.ndarray:
 
 
 def run_case(name, code, enc_fn, mod, cfg, snr_points, n_outers,
-             batch, rounds, method="maxlog", extrinsic_scale=1.0):
+             batch, rounds, method="maxlog", extrinsic_scale=1.0,
+             budget_control=True):
+    """``budget_control`` adds a one-shot receiver whose iteration budget
+    equals the LARGEST ID variant's total ((max n_outer + 1) x max_iters),
+    keyed "ctl" in the emitted rows — without it, comparing n_outer=k
+    against the plain one-shot conflates demapper feedback with k extra
+    decoder budgets (review finding, round 5)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -77,6 +77,11 @@ def run_case(name, code, enc_fn, mod, cfg, snr_points, n_outers,
                                          method=method,
                                          extrinsic_scale=extrinsic_scale)
                  for n in n_outers}
+    if budget_control:
+        cfg_ctl = dataclasses.replace(
+            cfg, max_iters=(max(n_outers) + 1) * cfg.max_iters)
+        receivers["ctl"] = make_bicm_id_receive(code, cfg_ctl, mod,
+                                                n_outer=0, method=method)
 
     rows = []
     for snr_db in snr_points:
@@ -105,17 +110,18 @@ def run_case(name, code, enc_fn, mod, cfg, snr_points, n_outers,
             counters[n] = one
 
         # paired: every receiver sees the SAME noisy batches
-        agg = {n: np.zeros(3, np.int64) for n in n_outers}
+        keys = list(receivers)
+        agg = {n: np.zeros(3, np.int64) for n in keys}
         for r in range(rounds):
             y = make_y(jax.random.PRNGKey(5000 + 100 * int(snr_db * 10) + r))
             jax.block_until_ready(y)
-            outs = {n: counters[n](y) for n in n_outers}
-            stacked = np.asarray(jnp.stack([outs[n] for n in n_outers]))
-            for i, n in enumerate(n_outers):
+            outs = {n: counters[n](y) for n in keys}
+            stacked = np.asarray(jnp.stack([outs[n] for n in keys]))
+            for i, n in enumerate(keys):
                 agg[n] += stacked[i].astype(np.int64)
         frames = rounds * batch
         row = {"snr_db": snr_db, "frames": frames}
-        for n in n_outers:
+        for n in keys:
             fe, cv, it = (int(x) for x in agg[n])
             row[f"outer{n}"] = {
                 "fer": round(fe / frames, 6), "frame_errors": fe,
@@ -124,7 +130,7 @@ def run_case(name, code, enc_fn, mod, cfg, snr_points, n_outers,
             }
         rows.append(row)
         print(f"[bicm_id] {name} @{snr_db} dB: " + " ".join(
-            f"o{n}={row[f'outer{n}']['fer']:.2e}" for n in n_outers),
+            f"o{n}={row[f'outer{n}']['fer']:.2e}" for n in keys),
             file=sys.stderr, flush=True)
     return rows
 

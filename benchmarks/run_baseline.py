@@ -110,7 +110,13 @@ def _fit_record(dt_hi, n_hi, dt_lo, n_lo, bits_per_dispatch):
     slopes = [(dt_hi - dt_lo) / (n_hi - n_lo)] + list(_EXTRA_SLOPES)
     _EXTRA_SLOPES.clear()
     slopes.sort()
-    slope = slopes[len(slopes) // 2]
+    # true median: for even counts average the middle pair (slopes[len//2]
+    # alone would always pick the LARGER of 2 — selecting, not rejecting,
+    # an upward-drifting outlier at MYLDPC_FIT_PAIRS=2; use >= 3 pairs for
+    # real outlier rejection)
+    mid = len(slopes) // 2
+    slope = (slopes[mid] if len(slopes) % 2
+             else 0.5 * (slopes[mid - 1] + slopes[mid]))
     fixed = dt_hi - slope * n_hi
     rec = {
         "fixed_ms": round(fixed * 1e3, 3),
@@ -720,9 +726,14 @@ def config4m(snr_db=13.5):
 
 def config4h(snr_db=0.5, batch=512):
     """HARQ incremental redundancy measured end-to-end (config "4h"):
-    first transmission rv0 carries only 2/3 of the circular buffer
-    (effective rate ~0.5 — FAILS at this SNR), the retransmission sends
-    the remaining third from rv2's starting point (TS 38.212 §5.4.2.1);
+    first transmission rv0 carries the FIRST HALF of the circular buffer
+    (e1 = n_cb/2 = 33z, effective rate ~2/3 — FAILS at this SNR); the
+    retransmission starts at rv2's k0, which for BG1 is exactly 33z
+    (TS 38.212 Table 5.4.2.1-2), so e2 = n_cb/2 covers PRECISELY the
+    remaining half — true complementary IR with zero overlap and full
+    buffer coverage (a first cut used e1 = 2/3 n_cb, which silently left
+    bits [55z, 66z) untransmitted and chase-combined [33z, 44z) — the
+    rv k0 grid, not the wanted split, dictates clean IR partitions).
     harq_combine scatters both into one decoder input.  Reports the
     rv0-only vs combined FER at the same operating point (paired noise)
     and the combined receive's pipelined throughput — the measured
@@ -740,9 +751,11 @@ def config4h(snr_db=0.5, batch=512):
     rng = np.random.default_rng(0)
     u = rng.integers(0, 2, size=(batch, code.k), dtype=np.uint8)
     cw = jnp.asarray(np.asarray(enc(jnp.asarray(u))))
+    from myldpccppapi_tpu.codes.nr import rv_start
+
     n_cb = code.n - code.punctured_front
-    e1 = (2 * n_cb // 3 // code.z) * code.z
-    e2 = n_cb - e1
+    e1 = rv_start(code, 2, n_cb)      # = n_cb/2 = 33z for BG1: the rv2
+    e2 = n_cb - e1                    # window covers exactly the rest
     tx1 = jax.device_put(1.0 - 2.0 * jnp.asarray(
         np.asarray(rate_match_bits(code, cw, e1, rv=0)), jnp.float32))
     tx2 = jax.device_put(1.0 - 2.0 * jnp.asarray(

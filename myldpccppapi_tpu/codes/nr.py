@@ -124,6 +124,18 @@ def parse_bg_table(text: str) -> np.ndarray:
     w = widths.pop()
     if w in (3, 10):  # sparse: row col V... (V per lifting set or single)
         nv = w - 2
+        for r in rows:
+            if r[0] < 0 or r[1] < 0:
+                # Python negative indexing would silently write the LAST
+                # row/col — the exact silent corruption this loader exists
+                # to prevent
+                raise ValueError(
+                    f"negative (row, col)=({r[0]}, {r[1]}) in table entry"
+                )
+            if any(v < -1 for v in r[2:]):
+                raise ValueError(
+                    f"shift value < -1 in entry (row, col)=({r[0]}, {r[1]})"
+                )
         m_b = max(r[0] for r in rows) + 1
         n_b = max(r[1] for r in rows) + 1
         shape = (m_b, n_b, 8) if nv == 8 else (m_b, n_b)
@@ -136,8 +148,21 @@ def parse_bg_table(text: str) -> np.ndarray:
             seen.add(key)
             table[key] = r[2:] if nv == 8 else r[2]
         return table
+    if w in (9, 11):
+        # one token away from the sparse widths: almost certainly a
+        # uniformly truncated/extended sparse file, not a 9/11-column
+        # dense base graph (no published base graph is that narrow) —
+        # refuse rather than misparse row/col indices as shift values
+        raise ValueError(
+            f"every line has {w} tokens — one off from the sparse formats "
+            "(3 or 10); refusing to guess (a uniformly truncated sparse "
+            "table would otherwise silently parse as a dense matrix)"
+        )
     # dense matrix: every line is one base-graph row of n_b shifts
-    return np.asarray(rows, dtype=np.int32)
+    dense = np.asarray(rows, dtype=np.int32)
+    if (dense < -1).any():
+        raise ValueError("dense table contains values < -1")
+    return dense
 
 
 def _fill_girth6_shifts(base, rng, zmax) -> None:
@@ -293,6 +318,13 @@ def nr_code(z: int = 384, bg: int = 1,
         raw = tab[:, :, lifting_set_index(z)]
     else:
         raw = np.asarray(table)
+        if raw.shape != (m_b, n_b):
+            # a transcription that dropped a row/column must fail here,
+            # not as a mysteriously shifted BER curve
+            raise ValueError(
+                f"BG{bg} single-set table must be [{m_b}, {n_b}], "
+                f"got {list(raw.shape)}"
+            )
     base = np.where(raw >= 0, raw % z, -1).astype(np.int32)
     return QCCode(
         name=f"nr_bg{bg}_z{z}",

@@ -155,15 +155,19 @@ class Decoder:
         if impl == "pallas":
             from .ops import pallas_bp
 
-            if not pallas_bp.supported(code):
+            if not pallas_bp.supported(code, soft=config.soft_output):
                 # auto never resolves here unsupported; an EXPLICIT request
                 # gets the same loud refusal as the other kernels instead
                 # of a silent jnp fallback mislabeled as the fused kernel
+                # (soft=: the posterior output block counts against the
+                # VMEM budget — refuse at construction, not first decode)
                 raise ValueError(
                     "pallas (VMEM-resident short-code kernel) does not "
-                    "support this code: needs an unmasked QCCode small "
-                    "enough for 128-lane VMEM tiles; use implementation="
-                    '"auto" for dispatch'
+                    "support this code"
+                    + (" with soft_output" if config.soft_output else "")
+                    + ": needs an unmasked QCCode small enough for "
+                    "128-lane VMEM tiles; use implementation=\"auto\" "
+                    "for dispatch"
                 )
         elif impl == "pallas_zlane":
             from .ops import pallas_zlane

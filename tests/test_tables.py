@@ -153,3 +153,23 @@ def test_shipped_default_fingerprints_pinned():
         synth = synthetic_address_table(64800, "1/2")
     assert tables.table_fingerprint(synth) == (
         "f9ece725889943a770a1d0ff5803ade4fdb0eda99e755ceb6a0b9cf378ca97c0")
+
+
+def test_bg_table_rejects_negative_indices_and_truncated_sparse():
+    """Round-5 review findings: negative row/col would silently write the
+    LAST row via Python indexing; a uniformly truncated sparse file (9
+    tokens/line) must refuse rather than misparse as a dense matrix."""
+    with pytest.raises(ValueError, match="negative"):
+        parse_bg_table("0 0 7\n-1 1 3\n")
+    with pytest.raises(ValueError, match="one off from the sparse"):
+        parse_bg_table("0 0 1 2 3 4 5 6 7\n0 1 1 2 3 4 5 6 7\n")
+    with pytest.raises(ValueError, match="< -1"):
+        parse_bg_table("0 0 -2\n")
+
+
+def test_nr_code_rejects_misshapen_2d_table():
+    """A dense table missing a row/column must fail at construction, not
+    as a shifted BER curve."""
+    raw = nr_base_graph(2)
+    with pytest.raises(ValueError, match="single-set table must be"):
+        nr_code(z=16, bg=2, table=raw[:, :-1])
