@@ -53,3 +53,23 @@ def test_four_process_partition_matrix_bit_identical():
     report = json.loads(out.stdout.strip().splitlines()[-1])
     assert report["stats_bit_identical_across_partitions"] is True
     assert sorted(report["partitions"]) == ["1x8", "2x4", "4x2"]
+
+
+@pytest.mark.slow
+def test_two_process_campaign_masked_circulant_dvbs2():
+    """The config-5 hard shape across REAL process boundaries: the
+    masked-circulant / multi-edge DVB-S2 16200 campaign step must produce
+    bit-identical statistics when its global mesh is split across two
+    jax.distributed processes (a sharding bug specific to the masked
+    writeback path would be invisible to the wimax-only runs)."""
+    out = subprocess.run(
+        [sys.executable, SCRIPT, "--nproc", "2", "--local-devices", "2",
+         "--family", "dvbs2", "--n", "16200", "--rate", "1/2",
+         "--batch-per-device", "2", "--snr", "2.0", "--repeats", "1",
+         "--max-iters", "4", "--timeout", "420"],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    report = json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["stats_bit_identical_to_single_process"] is True
+    assert report["all_ranks_agree"] is True
