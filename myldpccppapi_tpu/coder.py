@@ -118,6 +118,10 @@ DECODE_TYPES = {
     # message-free state.  Keeps its own (cheap) 100-flip budget like MSCL
     # keeps its 120-iteration cap.
     "BF": GDBFConfig(max_iters=100),
+    # self-corrected min-sum (Savin 2008; no reference equivalent):
+    # sign-flip erasure instead of a tuned correction constant
+    "SCMS": DecoderConfig(algorithm="min-sum", schedule="flooding",
+                          self_correction=True, implementation="jnp"),
 }
 
 

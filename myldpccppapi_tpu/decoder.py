@@ -41,6 +41,7 @@ def _implementation(cfg: DecoderConfig, code) -> str:
             from .ops.bp import weights_mode
 
             if (weights_mode(cfg, code.m_b) != "iter"
+                    and not cfg.self_correction
                     and (cfg.triage_iters == 0 or not cfg.soft_output)
                     and pallas_bp.supported(code, soft=cfg.soft_output)):
                 # per-iteration (learned) schedules live on the jnp path,
@@ -82,6 +83,10 @@ def _implementation(cfg: DecoderConfig, code) -> str:
             # fused kernels' in-kernel while_loop has no per-iteration
             # weight indexing (per-LAYER schedules bake into their static
             # layer unroll and stay on the kernels)
+            return "jnp"
+        if cfg.self_correction:
+            # SCMS doubles the kernels' VMEM message state (previous-sent
+            # memory); jnp path serves it
             return "jnp"
         if pallas_bp.supported(code):
             return "pallas"
@@ -151,6 +156,14 @@ class Decoder:
             raise ValueError(
                 "soft_output + triage is not supported: the two-phase "
                 "wrapper merges hard outputs only"
+            )
+        if config.self_correction and impl in (
+            "pallas", "pallas_zlane", "pallas_stream", "edgelist"
+        ):
+            raise ValueError(
+                "self_correction (SCMS) is served by the jnp QC path only "
+                f"(requested implementation={impl!r}); use "
+                'implementation="auto" or "jnp"'
             )
         if impl == "pallas":
             from .ops import pallas_bp

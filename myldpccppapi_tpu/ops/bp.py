@@ -435,6 +435,14 @@ def decode_flooding(code: QCCode, cfg: DecoderConfig, llr: jax.Array) -> DecodeR
             q_next.extend(qs_layer)
             fails.append(jnp.any((par & 1) == 1, axis=0))
         q_next = jnp.stack(q_next)
+        if cfg.self_correction:
+            # SCMS (Savin 2008): erase (send 0) any variable->check message
+            # whose sign flipped vs the previously SENT message; a message
+            # erased last iteration (q == 0) propagates its new value.
+            # Masked entries sit at _Q_INF in both q and q_next, so the
+            # rule never fires there.
+            flip = (q != 0.0) & (jnp.signbit(q_next) != jnp.signbit(q))
+            q_next = jnp.where(flip, 0.0, q_next)
         fail = jnp.any(jnp.stack(fails), axis=0)  # [B]
 
         keep = done[None, None, :]

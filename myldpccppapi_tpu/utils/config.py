@@ -61,6 +61,15 @@ class DecoderConfig:
     #: the fused-kernel acceptance wrapper (ops/crc_accept.py) — rejected
     #: frames beyond it trigger the same full-batch fallback.
     triage_cap_frac: float = 0.125
+    #: Self-corrected min-sum (Savin 2008): a variable->check message whose
+    #: sign flips between iterations is ERASED (sent as 0) instead of
+    #: propagated — sign oscillation marks unreliable messages, and a
+    #: 0-magnitude input makes the min-sum check update neutralize the
+    #: affected checks.  Needs no tuned constant (unlike
+    #: normalization/offset).  min-sum + flooding only (the classic
+    #: formulation; the erasure memory is the flooding loop's q carry);
+    #: served by the jnp path — auto dispatch routes there.
+    self_correction: bool = False
     #: Message/posterior dtype: "float32" (exact) or "bfloat16" (halves the
     #: VMEM working set and bandwidth of the decode; ~0.05 dB BER cost
     #: typical for min-sum, which only compares magnitudes and adds).
@@ -144,6 +153,14 @@ class DecoderConfig:
             )
         if self.syndrome_mode not in ("exact", "lazy"):
             raise ValueError(f"unknown syndrome_mode {self.syndrome_mode!r}")
+        if self.self_correction:
+            if self.algorithm != "min-sum" or self.schedule != "flooding":
+                raise ValueError(
+                    "self_correction is the SCMS rule for min-sum FLOODING "
+                    f"(got {self.algorithm!r}/{self.schedule!r}); layered "
+                    "schedules have no per-iteration message memory to "
+                    "compare against"
+                )
         if self.crc is not None:
             from ..codes.crc import CRC_POLYS
 

@@ -270,3 +270,67 @@ def test_edgelist_honors_bf16():
     res = dec(llr)
     assert res.posteriors.dtype == jnp.bfloat16
     assert bool(jnp.all(res.converged))
+
+
+class TestSelfCorrection:
+    """SCMS (Savin 2008): sign-flip erasure on the flooding q carry."""
+
+    def test_scms_beats_plain_minsum_at_fixed_budget(self):
+        """Pinned seeds, 10-iteration budget, wimax 576 r1/2: SCMS must
+        strictly beat uncorrected min-sum (measured ~2x FER at 2.5 dB —
+        the literature's result, no tuned constant needed)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from myldpccppapi_tpu import Decoder, DecoderConfig, Encoder, wimax
+        from myldpccppapi_tpu.codes import encode_numpy
+        from myldpccppapi_tpu.ops.channel import transmit
+
+        code = wimax(576, "1/2")
+        enc = Encoder(code)
+        rng = np.random.default_rng(0)
+        u = rng.integers(0, 2, size=(512, code.k), dtype=np.uint8)
+        c = encode_numpy(enc.mats, u)
+        llr, _ = transmit(jax.random.PRNGKey(25), jnp.asarray(c), snr_db=2.5)
+        fers = {}
+        for name, sc in (("ms", False), ("scms", True)):
+            dec = Decoder(code, DecoderConfig(
+                algorithm="min-sum", schedule="flooding", max_iters=10,
+                self_correction=sc))
+            res = dec(llr)
+            bits = np.asarray(res.bits)
+            fers[name] = int(
+                (bits[:, code.info_positions] != u).any(axis=1).sum())
+            # converged => valid codeword (erasures must not break the
+            # syndrome latch)
+            conv = np.asarray(res.converged)
+            h = code.h_dense()
+            syn = (bits[conv] @ h.T) & 1
+            assert not syn.any()
+        assert fers["scms"] < fers["ms"], fers
+
+    def test_scms_validation_and_dispatch(self):
+        import pytest
+
+        from myldpccppapi_tpu import Decoder, DecoderConfig, wimax
+        from myldpccppapi_tpu.coder import Coder
+
+        with pytest.raises(ValueError, match="FLOODING"):
+            DecoderConfig(schedule="layered", self_correction=True)
+        with pytest.raises(ValueError, match="FLOODING"):
+            DecoderConfig(algorithm="sum-product", schedule="flooding",
+                          self_correction=True)
+        code = wimax(576, "1/2")
+        with pytest.raises(ValueError, match="SCMS"):
+            Decoder(code, DecoderConfig(
+                schedule="flooding", self_correction=True,
+                implementation="pallas"))
+        dec = Decoder(code, DecoderConfig(schedule="flooding",
+                                          self_correction=True))
+        assert dec.implementation == "jnp"
+        # the Coder facade type
+        coder = Coder(432, 576, "3/4B")
+        coder.for_decoder(16)
+        coder.add_decode_type("SCMS")
+        assert coder._decoders["SCMS"].config.self_correction is True
