@@ -123,6 +123,7 @@ def cmd_waterfall(args) -> int:
         normalization=args.normalization,
         msg_dtype=getattr(args, "msg_dtype", "float32"),
         crc=getattr(args, "crc", None),
+        self_correction=getattr(args, "self_correction", False),
     )
     snr_grid = _parse_snr_grid(args.snr)
 
@@ -383,6 +384,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["layered", "flooding"])
     w.add_argument("--max-iters", type=int, default=40)
     w.add_argument("--normalization", type=float, default=1.0)
+    w.add_argument("--self-correction", action="store_true",
+                   dest="self_correction",
+                   help="SCMS (Savin): sign-flip message erasure — "
+                        "min-sum flooding only, no tuned constant needed")
     w.add_argument("--msg-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="decoder message precision (bfloat16 halves VMEM)")
