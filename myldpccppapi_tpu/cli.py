@@ -359,8 +359,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("snr", type=float)
     t.add_argument(
         "algo",
-        choices=["CPU", "MS", "SP", "TDMP", "MSCL", "TDMPCL", "BF"],
-        help="decode type (reference Test.cpp names)",
+        choices=["CPU", "MS", "SP", "TDMP", "MSCL", "TDMPCL", "BF", "SCMS"],
+        help="decode type (reference Test.cpp names, plus the BF/SCMS "
+             "tiers this framework adds)",
     )
     t.add_argument("--n", type=int, default=576)
     t.add_argument("--k", type=int, default=432)

@@ -119,9 +119,10 @@ DECODE_TYPES = {
     # keeps its 120-iteration cap.
     "BF": GDBFConfig(max_iters=100),
     # self-corrected min-sum (Savin 2008; no reference equivalent):
-    # sign-flip erasure instead of a tuned correction constant
+    # sign-flip erasure instead of a tuned correction constant; auto
+    # dispatch serves it from the fused flooding kernel on short codes
     "SCMS": DecoderConfig(algorithm="min-sum", schedule="flooding",
-                          self_correction=True, implementation="jnp"),
+                          self_correction=True, implementation="auto"),
 }
 
 

@@ -41,7 +41,6 @@ def _implementation(cfg: DecoderConfig, code) -> str:
             from .ops.bp import weights_mode
 
             if (weights_mode(cfg, code.m_b) != "iter"
-                    and not cfg.self_correction
                     and (cfg.triage_iters == 0 or not cfg.soft_output)
                     and pallas_bp.supported(code, soft=cfg.soft_output)):
                 # per-iteration (learned) schedules live on the jnp path,
@@ -84,10 +83,10 @@ def _implementation(cfg: DecoderConfig, code) -> str:
             # weight indexing (per-LAYER schedules bake into their static
             # layer unroll and stay on the kernels)
             return "jnp"
-        if cfg.self_correction:
-            # SCMS doubles the kernels' VMEM message state (previous-sent
-            # memory); jnp path serves it
-            return "jnp"
+        # SCMS rides the fused flooding kernel at zero extra VMEM (the
+        # message scratch stores sent Q instead of R — pallas_bp.py); the
+        # z-lane/stream kernels are layered-only and config validation pins
+        # SCMS to flooding, so their supported() checks below reject it.
         if pallas_bp.supported(code):
             return "pallas"
         # long codes (DVB-S2 n=64800, NR Z=384): z-on-lanes fused kernel
@@ -158,12 +157,13 @@ class Decoder:
                 "wrapper merges hard outputs only"
             )
         if config.self_correction and impl in (
-            "pallas", "pallas_zlane", "pallas_stream", "edgelist"
+            "pallas_zlane", "pallas_stream", "edgelist"
         ):
             raise ValueError(
-                "self_correction (SCMS) is served by the jnp QC path only "
+                "self_correction (SCMS) is served by the jnp QC path and "
+                "the fused flooding kernel (short codes) "
                 f"(requested implementation={impl!r}); use "
-                'implementation="auto" or "jnp"'
+                'implementation="auto", "jnp", or "pallas"'
             )
         if impl == "pallas":
             from .ops import pallas_bp

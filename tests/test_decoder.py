@@ -322,13 +322,21 @@ class TestSelfCorrection:
             DecoderConfig(algorithm="sum-product", schedule="flooding",
                           self_correction=True)
         code = wimax(576, "1/2")
+        # layered-only kernels still refuse (SCMS is flooding by validation)
         with pytest.raises(ValueError, match="SCMS"):
             Decoder(code, DecoderConfig(
                 schedule="flooding", self_correction=True,
-                implementation="pallas"))
+                implementation="pallas_zlane"))
+        # the fused flooding kernel now serves SCMS (zero extra VMEM: the
+        # message scratch stores sent Q instead of R) — explicit request
+        # constructs instead of refusing
+        dec_k = Decoder(code, DecoderConfig(
+            schedule="flooding", self_correction=True,
+            implementation="pallas"))
+        assert dec_k.implementation == "pallas"
         dec = Decoder(code, DecoderConfig(schedule="flooding",
                                           self_correction=True))
-        assert dec.implementation == "jnp"
+        assert dec.implementation == "jnp"  # auto on CPU
         # the Coder facade type
         coder = Coder(432, 576, "3/4B")
         coder.for_decoder(16)

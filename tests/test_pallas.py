@@ -50,6 +50,41 @@ def test_pallas_batch_padding():
     assert (np.asarray(res.bits)[:, : code.k] == u).all()
 
 
+def test_pallas_scms_matches_jnp_bitexact():
+    """SCMS on the fused flooding kernel: the message scratch holds the
+    previously SENT q (erasures included) instead of R — bit-exact vs the
+    jnp path's explicit q carry at an SNR deep enough that erasures fire."""
+    code = wimax(576, "1/2")
+    _, llr = _case(code, batch=16, snr_db=2.0, seed=7)
+    cfg = DecoderConfig(schedule="flooding", self_correction=True,
+                        max_iters=10)
+    ref = decode_qc(code, cfg, llr)
+    res = decode_qc_pallas(code, cfg, llr, True)
+    assert (np.asarray(res.bits) == np.asarray(ref.bits)).all()
+    assert (np.asarray(res.iterations) == np.asarray(ref.iterations)).all()
+    assert (np.asarray(res.converged) == np.asarray(ref.converged)).all()
+    # the flag must actually reach the kernel: at 2.0 dB / 10 iters the
+    # erasure rule changes outcomes vs plain min-sum (FER 0.365 -> 0.252
+    # measured; a silent plain-MS fallthrough would be bit-identical)
+    plain = decode_qc_pallas(
+        code, DecoderConfig(schedule="flooding", max_iters=10), llr, True)
+    assert not (np.asarray(res.bits) == np.asarray(plain.bits)).all()
+
+
+@pytest.mark.slow
+def test_pallas_scms_soft_output_matches_jnp():
+    """SCMS + latched posterior output on the fused kernel."""
+    code = wimax(576, "1/2")
+    _, llr = _case(code, batch=8, snr_db=2.5, seed=11)
+    cfg = DecoderConfig(schedule="flooding", self_correction=True,
+                        max_iters=8, soft_output=True)
+    ref = decode_qc(code, cfg, llr)
+    res = decode_qc_pallas(code, cfg, llr, True)
+    assert (np.asarray(res.bits) == np.asarray(ref.bits)).all()
+    np.testing.assert_array_equal(
+        np.asarray(res.posteriors), np.asarray(ref.posteriors))
+
+
 @pytest.mark.slow
 def test_pallas_normalized_minsum():
     code = wimax(576, "1/2")
