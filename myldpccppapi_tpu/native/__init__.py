@@ -76,6 +76,10 @@ def load() -> Optional[ctypes.CDLL]:
         i64p, i32p, i64p, i32p, i64, i64, i64, f32p, i64,
         ctypes.c_int32, ctypes.c_float, u8p, u8p, i32p,
     ]
+    lib.decode_golden_flooding.argtypes = [
+        i64p, i32p, i32p, i64, i64, i64, f32p, i64, ctypes.c_int32,
+        ctypes.c_float, ctypes.c_float, ctypes.c_int32, u8p, u8p, i32p,
+    ]
     _LIB = lib
     return lib
 
@@ -265,6 +269,35 @@ def decode_golden_layered_native(code, llr: np.ndarray, max_iters: int = 40,
         len(cols), llr.reshape(-1), b, np.int32(max_iters),
         np.float32(normalization), np.float32(offset),
         bits.reshape(-1), conv, iters,
+    )
+    return bits, conv.astype(bool), iters
+
+
+def decode_golden_flooding_native(code, llr: np.ndarray, max_iters: int = 40,
+                                  normalization: float = 1.0,
+                                  offset: float = 0.0,
+                                  self_correction: bool = False):
+    """C++ flooding min-sum golden in the framework's EXACT f32 accumulation
+    order (posterior adds block by block, (layer, entry, row) — the layered
+    plan's wb_perm) — the independent native pin for the FLOODING schedule,
+    bit-exact vs ops/bp.py::decode_flooding and the fused kernel.  With
+    ``self_correction`` it pins the SCMS (Savin 2008) trajectory the same
+    way.  Returns (bits, converged, iters) or None if unavailable.  QC
+    codes only (uses the layered edge plan)."""
+    lib = load()
+    if lib is None or not hasattr(code, "blocks"):
+        return None
+    row_ptr, cols, wb_perm, _ = _layered_plan(code)
+    llr = np.ascontiguousarray(np.atleast_2d(llr), dtype=np.float32)
+    b = llr.shape[0]
+    n = code.n
+    bits = np.empty((b, n), np.uint8)
+    conv = np.empty(b, np.uint8)
+    iters = np.empty(b, np.int32)
+    lib.decode_golden_flooding(
+        row_ptr, cols, wb_perm, code.m, n, len(cols), llr.reshape(-1), b,
+        np.int32(max_iters), np.float32(normalization), np.float32(offset),
+        np.int32(1 if self_correction else 0), bits.reshape(-1), conv, iters,
     )
     return bits, conv.astype(bool), iters
 

@@ -174,6 +174,96 @@ void decode_golden_layered(const int64_t* row_ptr, const int32_t* cols,
   }
 }
 
+// Flooding min-sum golden with the framework's EXACT f32 accumulation
+// order: the NATIVE pin for the flooding schedule (decode_golden_minsum
+// above is the reference-decodeCPU-ordered baseline — row-sorted posterior
+// adds — and matches jnp only statistically).  Reproduces
+// ops/bp.py::decode_flooding op for op:
+//   check update: first/second-min self-exclusion (ties -> lowest block
+//     entry, = jnp.argmin), mag clamped to 1e30 (weight-1 rows), offset
+//     then normalization, sign-product exclusion (-0.0 preserved);
+//   posterior: chan + per-edge adds in (layer, block entry, row) order
+//     (wb_perm — bp.py adds circulant block by circulant block);
+//   hard decision post <= 0, syndrome per sweep, early exit.
+// self_correction != 0 adds the SCMS rule (Savin 2008) of bp.py:438-446 /
+// pallas_bp.py sweep_flooding_scms: a variable->check message whose sign
+// (std::signbit, matching jnp.signbit on -0.0) flips vs the previously
+// SENT message is erased to 0; a message erased last sweep (q == 0)
+// propagates its new value.  Pins jnp AND the fused kernel against an
+// independent scalar implementation of the SCMS trajectory.
+void decode_golden_flooding(const int64_t* row_ptr, const int32_t* cols,
+                            const int32_t* wb_perm,
+                            int64_t m, int64_t n, int64_t n_edges,
+                            const float* llr, int64_t batch,
+                            int32_t max_iters, float normalization,
+                            float offset, int32_t self_correction,
+                            uint8_t* bits_out, uint8_t* conv_out,
+                            int32_t* iters_out) {
+  std::vector<float> q(n_edges), rn(n_edges), post(n);
+  std::vector<uint8_t> hard(n);
+  const float Q_INF = 1e30f;
+  for (int64_t b = 0; b < batch; ++b) {
+    const float* chan = llr + b * n;
+    uint8_t* bits = bits_out + b * n;
+    for (int64_t e = 0; e < n_edges; ++e) q[e] = chan[cols[e]];
+    int32_t t = 0;
+    bool ok = false;
+    while (true) {
+      for (int64_t row = 0; row < m; ++row) {
+        const int64_t e0 = row_ptr[row], e1 = row_ptr[row + 1];
+        float m1 = Q_INF, m2 = Q_INF;
+        int64_t arg = -1;
+        int sgn = 0;
+        for (int64_t e = e0; e < e1; ++e) {
+          const float v = q[e];
+          const float a = v < 0 ? -v : v;
+          if (v < 0) sgn ^= 1;
+          if (a < m1) { m2 = m1; m1 = a; arg = e; }
+          else if (a < m2) { m2 = a; }
+        }
+        for (int64_t e = e0; e < e1; ++e) {
+          float mag = (e == arg) ? m2 : m1;
+          if (mag > Q_INF) mag = Q_INF;
+          if (offset > 0) { mag -= offset; if (mag < 0) mag = 0; }
+          if (normalization != 1.0f) mag *= normalization;
+          const int s = sgn ^ (q[e] < 0 ? 1 : 0);
+          rn[e] = s ? -mag : mag;
+        }
+      }
+      // posterior rebuilt from the channel in bp.py's block order
+      for (int64_t v = 0; v < n; ++v) post[v] = chan[v];
+      for (int64_t w = 0; w < n_edges; ++w) {
+        const int64_t e = wb_perm[w];
+        post[cols[e]] += rn[e];
+      }
+      for (int64_t v = 0; v < n; ++v) hard[v] = post[v] <= 0.0f;
+      ok = true;
+      for (int64_t row = 0; row < m && ok; ++row) {
+        int par = 0;
+        for (int64_t e = row_ptr[row]; e < row_ptr[row + 1]; ++e)
+          par ^= hard[cols[e]];
+        if (par) ok = false;
+      }
+      ++t;
+      if (ok || t >= max_iters) break;
+      // variable-node update (with the SCMS sign-flip erasure when on)
+      for (int64_t e = 0; e < n_edges; ++e) {
+        const float qn = post[cols[e]] - rn[e];
+        if (self_correction) {
+          const bool flip =
+              q[e] != 0.0f && std::signbit(qn) != std::signbit(q[e]);
+          q[e] = flip ? 0.0f : qn;
+        } else {
+          q[e] = qn;
+        }
+      }
+    }
+    for (int64_t v = 0; v < n; ++v) bits[v] = hard[v];
+    conv_out[b] = ok ? 1 : 0;
+    iters_out[b] = t;
+  }
+}
+
 // Probability-domain flooding sum-product with the reference's channel
 // quirk: the GPU SP path's exact arithmetic (decodeCL.c:3-108, host loop
 // MyLdpc.cpp:977-1059) for statistical parity runs.  Semantics preserved

@@ -188,6 +188,82 @@ def test_layered_golden_pins_pallas_kernel(rng):
 
 
 @pytest.mark.skipif(not native.available(), reason="native lib not built")
+@pytest.mark.parametrize("scms,norm", [(False, 1.0), (False, 0.75),
+                                       (True, 1.0)])
+def test_flooding_golden_bitexact_vs_jnp(rng, scms, norm):
+    """The native flooding golden (jnp accumulation order) pins the jnp
+    flooding path bit-exactly — bits, convergence, AND iteration counts —
+    including the SCMS erasure trajectory.  Before it, flooding was pinned
+    only statistically (decode_golden_minsum uses the reference's
+    row-sorted posterior order) and SCMS only jnp <-> pallas."""
+    import jax.numpy as jnp
+
+    from myldpccppapi_tpu import DecoderConfig, wimax
+    from myldpccppapi_tpu.ops.bp import decode_qc
+
+    code = wimax(576, "1/2")
+    _, llr = _mixed_conv_llr(code, rng, 32, snr_db=2.5, seed=2)
+    nb, nc, ni = native.decode_golden_flooding_native(
+        code, llr, max_iters=10, normalization=norm, self_correction=scms)
+    cfg = DecoderConfig(algorithm="min-sum", schedule="flooding",
+                        max_iters=10, normalization=norm,
+                        self_correction=scms, implementation="jnp")
+    res = decode_qc(code, cfg, jnp.asarray(llr))
+    assert 0 < nc.sum() < 32, "operating point must mix conv/unconv frames"
+    assert (np.asarray(res.converged) == nc).all()
+    assert (np.asarray(res.iterations) == ni).all()
+    assert (np.asarray(res.bits) == nb).all()
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_flooding_golden_bitexact_masked_multiedge(rng):
+    """Flooding pin on the hard structure: DVB-S2 16200 r1/2 (row-masked
+    wrap circulant + multi-edge blocks), where the posterior accumulation
+    ORDER across a column's blocks is observable in f32; masked edges are
+    simply absent from the plan (jnp holds them at +inf message /
+    zero contribution — same arithmetic)."""
+    import jax.numpy as jnp
+
+    from myldpccppapi_tpu import DecoderConfig
+    from myldpccppapi_tpu.codes.dvbs2 import dvbs2_ira_qc
+    from myldpccppapi_tpu.ops.bp import decode_qc
+
+    code = dvbs2_ira_qc(16200, "1/2")
+    _, llr = _mixed_conv_llr(code, rng, 8, snr_db=0.6)
+    nb, nc, ni = native.decode_golden_flooding_native(
+        code, llr, max_iters=10, normalization=0.85, offset=0.05)
+    cfg = DecoderConfig(algorithm="min-sum", schedule="flooding",
+                        max_iters=10, normalization=0.85, offset=0.05,
+                        implementation="jnp")
+    res = decode_qc(code, cfg, jnp.asarray(llr))
+    assert (np.asarray(res.converged) == nc).all()
+    assert (np.asarray(res.iterations) == ni).all()
+    assert (np.asarray(res.bits) == nb).all()
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_scms_golden_pins_pallas_kernel(rng):
+    """Native SCMS flooding golden vs the fused kernel (interpret mode):
+    the SCMS tier is anchored to an independent scalar implementation,
+    not just jnp <-> pallas to each other."""
+    import jax.numpy as jnp
+
+    from myldpccppapi_tpu import DecoderConfig, wimax
+    from myldpccppapi_tpu.ops.pallas_bp import decode_qc_pallas
+
+    code = wimax(576, "1/2")
+    _, llr = _mixed_conv_llr(code, rng, 16, snr_db=2.5, seed=3)
+    nb, nc, ni = native.decode_golden_flooding_native(
+        code, llr, max_iters=10, self_correction=True)
+    cfg = DecoderConfig(algorithm="min-sum", schedule="flooding",
+                        max_iters=10, self_correction=True)
+    res = decode_qc_pallas(code, cfg, jnp.asarray(llr), interpret=True)
+    assert (np.asarray(res.converged) == nc).all()
+    assert (np.asarray(res.iterations) == ni).all()
+    assert (np.asarray(res.bits) == nb).all()
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
 def test_sp_ref_golden_behaviour(rng):
     """Reference probability-domain SP golden (exp(8y) quirk,
     decodeCL.c:3-108): converged frames are valid codewords; at a clean
