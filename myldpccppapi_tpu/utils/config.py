@@ -68,7 +68,8 @@ class DecoderConfig:
     #: affected checks.  Needs no tuned constant (unlike
     #: normalization/offset).  min-sum + flooding only (the classic
     #: formulation; the erasure memory is the flooding loop's q carry);
-    #: served by the jnp path — auto dispatch routes there.
+    #: served by the jnp path AND the fused flooding kernel (zero extra
+    #: VMEM — the kernel's message scratch stores sent Q instead of R).
     self_correction: bool = False
     #: Message/posterior dtype: "float32" (exact) or "bfloat16" (halves the
     #: VMEM working set and bandwidth of the decode; ~0.05 dB BER cost
