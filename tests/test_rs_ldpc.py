@@ -129,6 +129,30 @@ def test_pallas_xor_butterfly_matches_jnp(schedule):
     assert (np.asarray(res.converged) == np.asarray(ref.converged)).all()
 
 
+def test_pallas_xor_scms_matches_jnp():
+    """SCMS on the xor-group (additive-permutation) fused kernel: auto
+    dispatch routes RS-LDPC self_correction requests to the kernel since
+    it serves SCMS, so pin the combination bit-exactly at a deep SNR
+    where erasures fire."""
+    from myldpccppapi_tpu.ops.bp import decode_qc
+    from myldpccppapi_tpu.ops.pallas_bp import decode_qc_pallas, supported
+
+    code = _small()
+    assert supported(code)
+    enc = Encoder(code, code.encoder_matrices)
+    rng = np.random.default_rng(5)
+    u = rng.integers(0, 2, size=(8, code.k_info), dtype=np.uint8)
+    cw = encode_numpy(code.encoder_matrices, u)
+    llr, _ = transmit(jax.random.PRNGKey(6), jnp.asarray(cw), snr_db=3.0)
+    cfg = DecoderConfig(schedule="flooding", self_correction=True,
+                        max_iters=10)
+    ref = decode_qc(code, cfg, llr)
+    res = decode_qc_pallas(code, cfg, llr, True)  # interpret mode
+    assert (np.asarray(res.bits) == np.asarray(ref.bits)).all()
+    assert (np.asarray(res.iterations) == np.asarray(ref.iterations)).all()
+    assert (np.asarray(res.converged) == np.asarray(ref.converged)).all()
+
+
 def test_xor_align_is_the_permutation():
     from myldpccppapi_tpu.ops.pallas_bp import _xor_align
 
